@@ -1,0 +1,151 @@
+"""End-to-end corpus builder: pages -> geo gate -> lines -> clean/filter ->
+dedup -> corpus_lines, all as one lazy Catalyst plan.
+
+Spark re-expression of the reference flow
+`automatically_process_crawl` (cc_corpus.py:353-381 ->
+download_and_process_wet_segment :296-317 -> _process_wet_record :237-294
+-> _deduplicate_cc :338-349):
+
+  read pages -> F2 host/tld/domain (pure regex exprs) -> J1 broadcast join
+  ccTLD dim -> J2 broadcast anti-join MNC filter -> F5 posexplode lines ->
+  F6 cheap raw-length gate *before* the regex chain (reference order,
+  cc_corpus.py:256) -> F7-F13 clean + keep rules (whole-stage codegen) ->
+  W1 per-page line ordinal -> F14 stable hash -> D1 deterministic
+  keep-first dedup.
+
+Shuffle profile: exactly two exchanges - one by `url` for the line-ordinal
+window, one by `hash` for dedup.  Everything upstream (scan, joins, explode,
+regex chain) is a single WholeStageCodegen stage: the dimension joins are
+broadcast (295 / 971 rows), so no shuffle before the window.  At 10^12-doc
+scale the same plan holds; AQE (skew-join + coalesce) handles giant domains,
+and dedup keys are 8-byte xxhash64 values rather than full lines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ccspark import geo, kernel, pykernel
+from ccspark.regexes import RE_LINE_SPLIT
+from ccspark.sqlgen import SPARK, lit as sql_lit
+
+
+def with_geo(pages: DataFrame) -> DataFrame:
+    """F2-F4: host/tld/domain extraction + geo gate + MNC anti-join.
+    Adds (host, tld, domain, country, region); drops non-ccTLD pages and
+    multinational domains."""
+    spark = pages.sparkSession
+    host = geo.host_expr(SPARK, "url")
+    df = pages.withColumn("host", F.expr(host))
+    df = df.withColumn("tld", F.expr(geo.tld_expr(SPARK, "host")))
+    df = df.withColumn("domain", F.expr(geo.domain_expr(SPARK, "host")))
+    dim = geo.cctld_dim(spark)
+    df = df.join(F.broadcast(dim), "tld", "inner")
+    mnc = geo.url_filter_dim(spark).select("domain")
+    df = df.join(F.broadcast(mnc), "domain", "left_anti")
+    return df
+
+
+def explode_lines(pages_geo: DataFrame) -> DataFrame:
+    """F5: one row per raw line, preserving original order via `pos`."""
+    split_expr = f"split(text, {sql_lit(SPARK, RE_LINE_SPLIT)})"
+    cols = [c for c in pages_geo.columns if c != "text"]
+    return pages_geo.select(
+        *cols, F.posexplode(F.expr(split_expr)).alias("pos", "raw_line")
+    )
+
+
+def clean_and_filter(lines: DataFrame) -> DataFrame:
+    """F6-F13: the kernel.  A cheap JVM-side raw-length gate first
+    (reference order, and it keeps ~half the lines out of the Arrow
+    transfer), then one vectorized pandas UDF computing cleaned text +
+    verdict in a single pass per line (see ccspark.pykernel for why this
+    beats the pure-Catalyst rendering)."""
+    df = lines.filter(F.length("raw_line") > 15)
+    udf = pykernel.make_clean_verdict_udf()
+    df = df.withColumn("_v", udf("raw_line"))
+    keep_cols = [c for c in lines.columns if c != "raw_line"]
+    return (
+        df.filter(F.col("_v.keep"))
+        .select(*keep_cols, F.col("_v.text").alias("text"))
+    )
+
+
+def verdict_lines(lines: DataFrame) -> DataFrame:
+    """Like clean_and_filter but keeps every raw line, adding
+    (keep boolean, drop_reason string) - feeds the metrics/lineage tables
+    and the F1-vs-oracle tests."""
+    udf = pykernel.make_clean_verdict_udf()
+    df = lines.withColumn("_v", udf("raw_line"))
+    return (
+        df.select("*", F.col("_v.text").alias("text"),
+                  F.col("_v.keep").alias("keep"),
+                  F.col("_v.drop_reason").alias("drop_reason"))
+        .drop("_v")
+    )
+
+
+def number_and_hash(kept: DataFrame) -> DataFrame:
+    """W1 + F14: per-page kept-line ordinal (reference line_num counter,
+    cc_corpus.py:252,292) and a *stable* 64-bit line hash.  The reference
+    used Python's builtin hash() (PYTHONHASHSEED-salted - a documented
+    reference bug); we use xxhash64, stable across executors and runs."""
+    w = Window.partitionBy("url").orderBy("pos")
+    return (
+        kept.withColumn("line_id", F.row_number().over(w))
+        .withColumn("hash", F.xxhash64("text"))
+    )
+
+
+def dedup_keep_first(lines: DataFrame, key: str = "hash") -> DataFrame:
+    """D1: exact dedup keeping the first copy (cc_corpus.py:345).  pandas
+    "first" depended on file order; we pin a deterministic tiebreak
+    (url, line_id) so results are stable under shuffle."""
+    w = Window.partitionBy(key).orderBy("url", "line_id")
+    return (
+        lines.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def corpus_lines(pages: DataFrame) -> DataFrame:
+    """The flagship end-to-end plan.  Output schema mirrors the reference's
+    line frame (Domain, Country, URL, LineID, Text, Hash - cc_corpus.py:315)
+    plus region/tld."""
+    df = with_geo(pages)
+    df = explode_lines(df)
+    df = clean_and_filter(df)
+    df = number_and_hash(df)
+    df = dedup_keep_first(df)
+    return df.select(
+        "domain", "tld", "country", "region", "url", "line_id", "text", "hash")
+
+
+def cell_metrics(pages: DataFrame) -> DataFrame:
+    """A5/north_rule metrics: per (region, country, lang) cell - lines seen,
+    kept, dropped, with seen = kept + dropped by construction."""
+    df = explode_lines(with_geo(pages))
+    df = verdict_lines(df)
+    return (
+        df.groupBy("region", "country", "lang")
+        .agg(
+            F.count("*").alias("lines_seen"),
+            F.sum(F.col("keep").cast("long")).alias("lines_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("lines_dropped"),
+            F.countDistinct("url").alias("docs_seen"),
+        )
+    )
+
+
+def write_partitioned(df: DataFrame, path: str,
+                      max_records_per_file: int = 100_000) -> None:
+    """S7/W3: partitioned corpus sink.  Identity-partition by
+    (region, country) with 100k-row shards (reference shard splitter,
+    cc_corpus.py:439-441) - on a real cluster this is an Iceberg
+    `writeTo(...).partitionedBy(...)`; parquet here."""
+    (df.write.mode("overwrite")
+       .option("maxRecordsPerFile", max_records_per_file)
+       .partitionBy("region", "country")
+       .parquet(path))
