@@ -1,0 +1,186 @@
+"""Deduplication operators (SURVEY par.2.5 D1-D5 + training-data extensions).
+
+Exact dedup variants mirror the reference semantics:
+
+  D1 keep-first on hash     cc_corpus.py:345, WET_processor.py:109
+  D2 keep-none  on hash     deduplication.py:97-104 (drop ALL copies)
+  D3 keep-first on url      cc_corpus.py:436 (reference discards the result -
+                            a documented bug; we implement the intent)
+  D4 keep-first/none on text geoWAC.py:171,184 / :209,232
+
+All are hash-shuffle operators keyed on 8-byte xxhash64 values (never the
+full text - the reference's own benchmark tried hash-keyed dedup in pandas
+and found it slower, Benchmark/result.md:7-10, but that is a pandas
+artifact: in a shuffle engine small keys win).  "keep first" in pandas
+depended on file order; here it is pinned with an explicit deterministic
+tiebreak.
+
+Near-dup extensions (not in the reference beyond a docstring stub,
+WET_processor.py:125-132): MinHash-LSH, SimHash, and n-gram Jaccard -
+the standard toolkit for web-scale corpus dedup.  They use
+*cross-engine-stable* md5-derived hashes so the DuckDB oracle can verify
+them value-for-value; swap `md5_i64` for `xxhash64` for raw speed at
+production scale (the plan shape is identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def dedup_keep_first(df: DataFrame, key: str = "hash",
+                     order: tuple[str, ...] = ("url", "line_id")) -> DataFrame:
+    """D1/D3/D4: keep exactly one row per key - the first under *order*."""
+    w = Window.partitionBy(key).orderBy(*order)
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def dedup_keep_none(df: DataFrame, key: str = "hash") -> DataFrame:
+    """D2: drop EVERY row whose key occurs more than once
+    (pandas drop_duplicates(keep=False))."""
+    w = Window.partitionBy(key)
+    return (df.withColumn("_c", F.count("*").over(w))
+              .filter(F.col("_c") == 1).drop("_c"))
+
+
+# ------------------------------------------------------------------
+# Near-duplicate detection over a document table (doc_id, text)
+
+def shingles(df: DataFrame, text_col: str = "text", k: int = 3,
+             id_col: str = "doc_id") -> DataFrame:
+    """Word k-gram shingle set per document (distinct)."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    return (df.select(id_col, F.explode(F.array_distinct(sh)).alias("shingle"))
+              .where(F.length("shingle") > 0))
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 16,
+                       id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature: for seed i, min over md5(seed || shingle).
+
+    Lexicographic min over the md5 hex strings is a valid min-wise hash
+    family and - unlike xxhash64 - computes identically in DuckDB, so the
+    oracle can check signatures exactly.  One row per (doc, seed)."""
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    seeded = sh.select(
+        id_col, F.explode(seeds).alias("seed"),
+        F.col("shingle"))
+    sig = seeded.groupBy(id_col, "seed").agg(
+        F.min(F.md5(F.concat(F.col("seed").cast("string"),
+                             F.lit(":"), F.col("shingle")))).alias("minhash"))
+    return sig
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 4,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (rows_per_band = num_hashes/bands), bucket by the
+    band digest, emit candidate pairs that share any bucket."""
+    nh = sig.groupBy(id_col).count().agg(F.max("count")).collect()[0][0]
+    rows_per_band = max(1, int(nh) // bands)
+    banded = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    digests = banded.groupBy(id_col, "band").agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash"))))
+        .alias("digest"))
+    a, b = digests.alias("a"), digests.alias("b")
+    pairs = (
+        a.join(b, ["band", "digest"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_near_dups(docs: DataFrame, text_col: str = "text", k: int = 3,
+                      num_hashes: int = 16, bands: int = 4,
+                      id_col: str = "doc_id") -> DataFrame:
+    """End-to-end MinHash-LSH near-dup candidate pairs with estimated
+    Jaccard (fraction of agreeing minhashes)."""
+    sh = shingles(docs, text_col, k, id_col)
+    sig = minhash_signatures(sh, num_hashes, id_col)
+    pairs = lsh_candidate_pairs(sig, bands, id_col)
+    a = sig.select(F.col(id_col).alias("doc_a"), "seed",
+                   F.col("minhash").alias("mh_a"))
+    b = sig.select(F.col(id_col).alias("doc_b"), "seed",
+                   F.col("minhash").alias("mh_b"))
+    est = (
+        pairs.join(a, "doc_a").join(b, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg((F.sum((F.col("mh_a") == F.col("mh_b")).cast("int"))
+              / F.count("*")).alias("jaccard_est"))
+    )
+    return est
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16,
+            id_col: str = "doc_id") -> DataFrame:
+    """SimHash fingerprint: bit i of the fingerprint is the majority vote
+    of hex digit i of md5(word) being >= 8 (the digit's high bit), over
+    all words.  16 hex digits -> 16-bit fingerprint; cross-engine stable."""
+    words = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    words = words.where(F.length("w") > 0).withColumn("h", F.md5("w"))
+    bit_votes = words.select(
+        id_col,
+        *[
+            (F.when(F.substring("h", i + 1, 1).isin(*"89abcdef"), 1)
+              .otherwise(-1)).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    agg = bit_votes.groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)])
+    fp = agg.select(
+        id_col,
+        sum(
+            (F.when(F.col(f"s{i}") > 0, 1).otherwise(0) * (2 ** i)
+             for i in range(bits)),
+            start=F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return fp
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
+                        id_col: str = "doc_id",
+                        bucket_col=None) -> DataFrame:
+    """Exact pairwise Jaccard over word-k-gram shingle sets.  Quadratic -
+    restrict with *bucket_col* (e.g. lang) so the self-join stays within
+    buckets; at production scale run it only on LSH candidate pairs."""
+    sh = shingles(docs, text_col, k, id_col)
+    if bucket_col is not None:
+        sh = sh.join(docs.select(id_col, bucket_col), id_col)
+        join_keys = ["shingle", bucket_col]
+    else:
+        join_keys = ["shingle"]
+    a = sh.select(*[F.col(c).alias(f"a_{c}") if c == id_col else F.col(c)
+                    for c in sh.columns])
+    b = sh.select(*[F.col(c).alias(f"b_{c}") if c == id_col else F.col(c)
+                    for c in sh.columns])
+    inter = (
+        a.join(b, join_keys)
+        .where(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+        .groupBy(f"a_{id_col}", f"b_{id_col}")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sizes.select(F.col(id_col).alias(f"a_{id_col}"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias(f"b_{id_col}"),
+                      F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, f"a_{id_col}").join(sb, f"b_{id_col}")
+        .select(
+            F.col(f"a_{id_col}").alias("doc_a"),
+            F.col(f"b_{id_col}").alias("doc_b"),
+            (F.col("n_common")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+            .alias("jaccard"),
+        )
+    )

@@ -1,0 +1,119 @@
+"""Pipeline-level behavior: geo gate, line ordinals, dedup semantics,
+metrics invariants, partitioned writes - against crafted pages and the
+pandas oracle."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from ccspark import pipeline
+from tests import oracle
+
+GOOD = "this line is long enough to pass every filter in the chain easily"
+GOOD2 = "another line that is long enough to pass every filter easily too"
+
+
+def make_pages(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, url=u, text=t, lang="en") for i, (u, t) in enumerate(rows)])
+
+
+def test_geo_gate_and_domain(spark):
+    pages = make_pages(spark, [
+        ("https://www.keep.de/x", GOOD),
+        ("https://sub.keep2.co.nz/y", GOOD),
+        ("http://nocountry.com/z", GOOD),       # com -> not a ccTLD
+        ("https://hotel.fr/z", GOOD),           # MNC anti-join
+        ("https://xn--80aswg.xn--p1ai/z", GOOD),  # punycode NOT decoded
+    ])
+    got = pipeline.with_geo(pages).select("url", "domain", "tld", "country")
+    rows = {r.url: r for r in got.collect()}
+    assert set(rows) == {"https://www.keep.de/x", "https://sub.keep2.co.nz/y"}
+    assert rows["https://sub.keep2.co.nz/y"].domain == "keep2"
+    assert rows["https://sub.keep2.co.nz/y"].tld == "nz"
+    assert rows["https://www.keep.de/x"].country == "Germany"
+
+
+def test_unicode_cctld(spark):
+    pages = make_pages(spark, [("https://пример.рф/x", GOOD)])
+    got = pipeline.with_geo(pages).collect()
+    assert len(got) == 1
+    assert got[0].country == "Russia"
+    assert got[0].region == "europe_russia"
+
+
+def test_line_ordinal_counts_kept_lines_only(spark):
+    text = f"{GOOD}\nshort\n{GOOD2}"
+    pages = make_pages(spark, [("https://www.a.de/1", text)])
+    out = pipeline.corpus_lines(pages).orderBy("line_id").collect()
+    assert [(r.line_id, r.text) for r in out] == [
+        (1, oracle.verdict(GOOD)[0]), (2, oracle.verdict(GOOD2)[0])]
+
+
+def test_crlf_and_unicode_linebreaks(spark):
+    text = f"{GOOD}\r\n{GOOD2} {GOOD} extra"
+    pages = make_pages(spark, [("https://www.a.de/1", text)])
+    out = pipeline.corpus_lines(pages)
+    assert out.count() == 3
+    # oracle sees the same segmentation
+    assert len(oracle.process_page(text)) == 3
+
+
+def test_dedup_keep_first_deterministic(spark):
+    pages = make_pages(spark, [
+        ("https://www.a.de/1", GOOD),
+        ("https://www.b.de/2", GOOD),   # same line -> same hash
+        ("https://www.b.de/3", GOOD2),
+    ])
+    out = pipeline.corpus_lines(pages).collect()
+    kept_urls = {r.text: r.url for r in out}
+    assert len(out) == 2
+    # first by (url, line_id) tiebreak -> /1 wins
+    assert kept_urls[oracle.verdict(GOOD)[0]] == "https://www.a.de/1"
+
+
+def test_dedup_keep_none(spark):
+    pages = make_pages(spark, [
+        ("https://www.a.de/1", GOOD),
+        ("https://www.b.de/2", GOOD),
+        ("https://www.b.de/3", GOOD2),
+    ])
+    df = pipeline.with_geo(pages)
+    df = pipeline.explode_lines(df)
+    df = pipeline.clean_and_filter(df)
+    df = pipeline.number_and_hash(df)
+    from ccspark.dedup import dedup_keep_none
+    out = dedup_keep_none(df).collect()
+    assert [r.text for r in out] == [oracle.verdict(GOOD2)[0]]
+
+
+def test_metrics_match_oracle(spark):
+    texts = [f"{GOOD}\nshort", f"{GOOD}\n{GOOD2}", "tiny"]
+    pages = make_pages(spark, [
+        (f"https://www.m{i}.de/{i}", t) for i, t in enumerate(texts)])
+    m = pipeline.cell_metrics(pages).collect()
+    assert len(m) == 1
+    row = m[0]
+    exp_kept = sum(len(oracle.process_page(t)) for t in texts)
+    assert row.lines_kept == exp_kept
+    assert row.lines_seen == row.lines_kept + row.lines_dropped
+    assert row.docs_seen == 3
+
+
+def test_partitioned_write_roundtrip(spark, tmp_path):
+    pages = make_pages(spark, [
+        ("https://www.a.de/1", GOOD),
+        ("https://www.b.fr/2", GOOD2),
+    ])
+    out = pipeline.corpus_lines(pages)
+    path = str(tmp_path / "corpus")
+    pipeline.write_partitioned(out, path)
+    back = spark.read.parquet(path)
+    assert back.count() == out.count()
+    # hive partition dirs exist (region=europe_west/country=...)
+    assert any(d.startswith("region=") for d in os.listdir(path))
+    countries = {r.country for r in back.select("country").collect()}
+    assert countries == {"Germany", "France"}
