@@ -1,0 +1,699 @@
+"""The driver-graded query suite: every operator as a (Spark, DuckDB) pair.
+
+Each query is ONE SQL template rendered for both engines through
+ccspark.sqlgen / kernel / geo / fixtures_sql, so the Spark callable in
+``queries()`` and the oracle string in ``oracle_sql()`` cannot drift.
+Column names are aliased identically on both sides (the driver's compare
+sorts columns by name and value-hashes).
+
+Cross-engine determinism rules used throughout:
+  * hashes: md5 hex strings (identical in both engines) - the production
+    pipeline uses xxhash64 internally for 8-byte shuffle keys; these
+    queries surface md5 so DuckDB can verify values;
+  * floats: always round(x, 4) before output;
+  * no timestamps/binaries in compared outputs;
+  * every top-k / keep-first is pinned by a total deterministic order.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from ccspark import geo, kernel
+from ccspark.fixtures_sql import pages_subquery
+from ccspark.regexes import (
+    RE_LINE_SPLIT, RE_PII_EMAIL, RE_PII_IP, RE_PII_PHONE, RE_PII_SSN,
+)
+from ccspark.sqlgen import (
+    DUCK, SPARK, lit, md5_i64, rlike, rrep, split_arr,
+)
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def dim(d: str, name: str) -> str:
+    """Dimension CSV as a relation: Spark temp view / DuckDB read_csv."""
+    if d == SPARK:
+        return f"dim_{name}"
+    path = os.path.join(geo.DATA_DIR, f"{name}.csv")
+    return f"read_csv('{path}', header=true, all_varchar=true)"
+
+
+def ensure_views(spark, sf_dir: str) -> None:
+    """Register the driver tables + dimension CSVs as Spark temp views."""
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(t)
+    for name, loader in (("cctld", geo.cctld_dim),
+                         ("url_filter", geo.url_filter_dim),
+                         ("country_iso3", geo.country_iso3_dim),
+                         ("lang_iso2_iso3", geo.lang_iso3_dim)):
+        loader(spark).createOrReplaceTempView(f"dim_{name}")
+
+
+def _posexplode_lines(d: str, src: str) -> str:
+    """Per-line explode of pages text preserving order: (…, pos, raw_line).
+    Spark: lateral posexplode; DuckDB: zipped unnest + generate_subscripts."""
+    arr = split_arr(d, "text", RE_LINE_SPLIT)
+    if d == SPARK:
+        return (
+            f"(SELECT doc_id, url, tld, domain, country, region, lang, "
+            f"pos + 1 AS pos, raw_line "
+            f"FROM {src} LATERAL VIEW posexplode({arr}) t AS pos, raw_line)"
+        )
+    return (
+        f"(SELECT doc_id, url, tld, domain, country, region, lang, "
+        f"generate_subscripts({arr}, 1) AS pos, unnest({arr}) AS raw_line "
+        f"FROM {src})"
+    )
+
+
+def geo_pages_cte(d: str) -> str:
+    """pages -> host/tld/domain -> ccTLD join -> MNC anti-join."""
+    host = geo.host_expr(d, "url")
+    return f"""
+pages AS (SELECT * FROM {pages_subquery(d)} p),
+hosted AS (SELECT p.*, {host} AS host FROM pages p),
+parsed AS (SELECT h.*, {geo.tld_expr(d, 'host')} AS tld,
+                  {geo.domain_expr(d, 'host')} AS domain FROM hosted h),
+geo_pages AS (
+  SELECT pr.doc_id, pr.url, pr.lang, pr.text, pr.tld, pr.domain,
+         c.country, c.region
+  FROM parsed pr JOIN {dim(d, 'cctld')} c ON pr.tld = c.tld
+  WHERE pr.domain NOT IN (SELECT domain FROM {dim(d, 'url_filter')})
+)"""
+
+
+def corpus_lines_cte(d: str) -> str:
+    """geo_pages -> explode -> clean -> keep -> ordinal -> dedup(first)."""
+    cleaned = kernel.cleaned_expr(d, "raw_line")
+    rules = kernel.rule_exprs(d, "raw_line", "text")
+    post = " AND ".join(rules[k] for k in kernel.RULE_ORDER[1:])
+    return f"""{geo_pages_cte(d)},
+raw_lines AS (SELECT * FROM {_posexplode_lines(d, 'geo_pages')} rl),
+cleaned_lines AS (
+  SELECT doc_id, url, tld, domain, country, region, lang, pos,
+         {cleaned} AS text
+  FROM raw_lines WHERE length(raw_line) > 15
+),
+kept_lines AS (SELECT * FROM cleaned_lines WHERE {post}),
+numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY pos) AS line_id,
+         md5(text) AS line_md5
+  FROM kept_lines
+),
+corpus_lines AS (
+  SELECT domain, tld, country, region, url, line_id, text, line_md5
+  FROM (SELECT *, row_number() OVER (PARTITION BY line_md5
+                                     ORDER BY url, line_id) AS _rn
+        FROM numbered) dd
+  WHERE _rn = 1
+)"""
+
+
+def verdict_lines_cte(d: str) -> str:
+    """All lines with keep verdict + drop_reason (for metrics queries)."""
+    cleaned = kernel.cleaned_expr(d, "raw_line")
+    return f"""{geo_pages_cte(d)},
+raw_lines AS (SELECT * FROM {_posexplode_lines(d, 'geo_pages')} rl),
+verdicts AS (
+  SELECT *, {kernel.keep_expr(d, 'raw_line', cleaned)} AS keep,
+         {kernel.drop_reason_expr(d, 'raw_line', cleaned)} AS drop_reason
+  FROM raw_lines
+)"""
+
+
+# ==========================================================================
+# Query templates.  Each returns the full SQL for dialect d.
+
+def q_corpus_lines(d: str) -> str:
+    """Flagship: the end-to-end corpus build (SURVEY par.3.1)."""
+    return f"WITH {corpus_lines_cte(d)} SELECT * FROM corpus_lines"
+
+
+def q_geo_pages(d: str) -> str:
+    """F2-F4 + J1/J2: per-page geography after both dimension joins."""
+    return (f"WITH {geo_pages_cte(d)} "
+            f"SELECT doc_id, url, tld, domain, country, region "
+            f"FROM geo_pages")
+
+
+def q_cell_metrics(d: str) -> str:
+    """A5 / north_rule lineage metrics per (region, country, lang) cell."""
+    return f"""WITH {verdict_lines_cte(d)}
+SELECT region, country, lang,
+       count(*) AS lines_seen,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS lines_kept,
+       sum(CASE WHEN keep THEN 0 ELSE 1 END) AS lines_dropped,
+       count(DISTINCT url) AS docs_seen
+FROM verdicts GROUP BY region, country, lang"""
+
+
+def q_drop_reasons(d: str) -> str:
+    """Distribution of first-failing-rule across all lines."""
+    return f"""WITH {verdict_lines_cte(d)}
+SELECT coalesce(drop_reason, 'kept') AS reason, count(*) AS n_lines
+FROM verdicts GROUP BY coalesce(drop_reason, 'kept')"""
+
+
+def q_dedup_keep_none(d: str) -> str:
+    """D2: lines whose text occurs exactly once corpus-wide
+    (pandas drop_duplicates(keep=False), deduplication.py:97-104)."""
+    cleaned = kernel.cleaned_expr(d, "raw_line")
+    rules = kernel.rule_exprs(d, "raw_line", "text")
+    post = " AND ".join(rules[k] for k in kernel.RULE_ORDER[1:])
+    return f"""WITH {geo_pages_cte(d)},
+raw_lines AS (SELECT * FROM {_posexplode_lines(d, 'geo_pages')} rl),
+cleaned_lines AS (
+  SELECT url, pos, {cleaned} AS text FROM raw_lines
+  WHERE length(raw_line) > 15
+),
+kept AS (SELECT * FROM cleaned_lines WHERE {post}),
+counted AS (
+  SELECT *, count(*) OVER (PARTITION BY md5(text)) AS _c FROM kept
+)
+SELECT url, text FROM counted WHERE _c = 1"""
+
+
+def q_page_reassembly(d: str) -> str:
+    """A1: corpus lines regrouped into pages - newline-joined in line_id
+    order + word count (cc_corpus.py:167-175)."""
+    nl = "chr(10)"
+    if d == SPARK:
+        joined = ("concat_ws(char(10), transform(array_sort("
+                  "collect_list(struct(line_id, text))), s -> s.text))")
+    else:
+        joined = f"string_agg(text, {nl} ORDER BY line_id)"
+    return f"""WITH {corpus_lines_cte(d)}
+SELECT url, country, region,
+       {joined} AS page_text,
+       sum(length(text) - length(replace(text, ' ', '')) + 1) AS n_words
+FROM corpus_lines
+GROUP BY url, country, region"""
+
+
+def q_domain_word_chunks(d: str) -> str:
+    """A3 (SQL-oracle variant of the 5000-word domain sample accumulator,
+    deduplication.py:19-85): running word count per domain in url/line
+    order, bucketed every 5000 words.  (The greedy reset-on-overflow
+    original is applyInPandas - ccspark.chunker - and is pytest-verified;
+    this fixed-boundary variant is its scalable SQL twin.)"""
+    words = "(length(text) - length(replace(text, ' ', '')) + 1)"
+    return f"""WITH {corpus_lines_cte(d)},
+runs AS (
+  SELECT domain, url, line_id, text, {words} AS n_words,
+         sum({words}) OVER (PARTITION BY domain ORDER BY url, line_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_words
+  FROM corpus_lines
+)
+SELECT domain, cast(floor((cum_words - 1) / 500) AS bigint) AS chunk_id,
+       count(*) AS n_lines, sum(n_words) AS chunk_words,
+       min(url) AS first_url
+FROM runs GROUP BY domain, cast(floor((cum_words - 1) / 500) AS bigint)"""
+
+
+def q_pii_scrub(d: str) -> str:
+    """F17 (north_rule extension): regex PII scrub over raw page lines -
+    emails, phones, IPs, SSNs -> typed placeholders, with per-page
+    redaction counts."""
+    e = "raw_line"
+    s = rrep(d, e, RE_PII_EMAIL, "<EMAIL>")
+    s = rrep(d, s, RE_PII_SSN, "<SSN>")
+    s = rrep(d, s, RE_PII_IP, "<IP>")
+    s = rrep(d, s, RE_PII_PHONE, "<PHONE>")
+    return f"""WITH {geo_pages_cte(d)},
+raw_lines AS (SELECT * FROM {_posexplode_lines(d, 'geo_pages')} rl),
+scrubbed AS (
+  SELECT url, pos, raw_line, {s} AS scrubbed_line FROM raw_lines
+)
+SELECT url, pos, scrubbed_line,
+       CASE WHEN raw_line = scrubbed_line THEN 0 ELSE 1 END AS was_redacted
+FROM scrubbed"""
+
+
+def q_url_filter_stats(d: str) -> str:
+    """A6 (scan_url_filters, cc_corpus.py:405-411): per-domain distinct
+    languages and page count; flag domains spanning > 3 languages."""
+    return f"""WITH {geo_pages_cte(d)}
+SELECT domain, count(DISTINCT lang) AS n_langs, count(*) AS n_pages,
+       CASE WHEN count(DISTINCT lang) > 3 THEN 1 ELSE 0 END AS mnc_flag
+FROM geo_pages GROUP BY domain"""
+
+
+def q_iso_join(d: str) -> str:
+    """J3: country -> ISO-3 broadcast dimension join (geoWAC.py:81-108)."""
+    return f"""WITH {geo_pages_cte(d)}
+SELECT g.country, i.iso3, count(*) AS n_pages
+FROM geo_pages g JOIN {dim(d, 'country_iso3')} i ON g.country = i.country
+GROUP BY g.country, i.iso3"""
+
+
+def q_country_cap(d: str) -> str:
+    """W4 (geoWAC.py:149-152): cap pages per country at K=20, selection
+    pinned by md5(url) instead of random.shuffle - deterministic."""
+    return f"""WITH {geo_pages_cte(d)},
+ranked AS (
+  SELECT doc_id, url, country,
+         row_number() OVER (PARTITION BY country ORDER BY md5(url), url)
+           AS rk
+  FROM geo_pages
+)
+SELECT doc_id, url, country, rk FROM ranked WHERE rk <= 20"""
+
+
+def q_shard_assign(d: str) -> str:
+    """W3 (cc_corpus.py:439-441): 100k-row shard split -> here 100-row
+    shards per (region, country), deterministic order."""
+    return f"""WITH {corpus_lines_cte(d)}
+SELECT region, country,
+       cast(floor((row_number() OVER (PARTITION BY region, country
+                                      ORDER BY url, line_id) - 1) / 100)
+            AS bigint) AS shard_id,
+       count(*) OVER (PARTITION BY region, country) AS cell_lines,
+       url, line_id
+FROM corpus_lines"""
+
+
+# ----- language ID + quality scoring (M1-M5 re-expressions) ---------------
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "es", "y"),
+    "zh": ("zh",),
+}
+
+
+def q_langid_agreement(d: str) -> str:
+    """M1/M2/J4: two independent heuristic LID scorers (stopword-marker
+    voting over disjoint marker halves); a doc's LID is accepted only when
+    both agree with the labeled lang (geoWAC.py:67 semantics).  fastText
+    would fill the same UDF slot at production scale; markers keep the
+    oracle exact."""
+    def score(lang: str, half: int) -> str:
+        toks = _LANG_MARKERS[lang]
+        toks = toks[half::2] or toks
+        parts = []
+        for t in toks:
+            pat = f"(^|[^a-z])({t})([^a-z]|$)"
+            stripped = rrep(d, "lower(text)", pat, "\\1\\3")
+            parts.append(
+                f"(length(lower(text)) - length({stripped}))")
+        return "(" + " + ".join(parts) + ")"
+
+    langs = sorted(_LANG_MARKERS)
+    best = []
+    for half in (0, 1):
+        scores = ", ".join(
+            f"{score(lg, half)}" for lg in langs)
+        # argmax via greatest + case
+        g = f"greatest({scores})"
+        cases = " ".join(
+            f"WHEN {score(lg, half)} = {g} THEN '{lg}'" for lg in langs)
+        best.append(f"(CASE {cases} END)")
+    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p),
+scored AS (
+  SELECT doc_id, lang, {best[0]} AS lid_a, {best[1]} AS lid_b FROM pages
+)
+SELECT doc_id, lang, lid_a, lid_b,
+       CASE WHEN lid_a = lang AND lid_b = lang THEN 1 ELSE 0 END AS accepted
+FROM scored"""
+
+
+def q_quality_signals(d: str) -> str:
+    """Heuristic quality scoring per document: token count, mean word
+    length, stopword ratio, punctuation ratio, distinct-word ratio,
+    char-repetition flag - the standard webtext quality panel."""
+    words = split_arr(d, "text", " ")
+    nw = f"len({words})" if d == DUCK else f"size({words})"
+    stop_pat = "(^|[^a-z])(the|and|of|to|is|a|in|that|it|for)([^a-z]|$)"
+    stop_stripped = rrep(d, "lower(text)", stop_pat, "\\1\\3")
+    punct_stripped = rrep(d, "text", "[!-/:-@\\[-`{-~]", "")
+    dw = (f"cardinality(array_distinct({words}))" if d == SPARK
+          else f"len(list_distinct({words}))")
+    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p),
+sig AS (
+  SELECT doc_id, lang,
+         {nw} AS n_tokens,
+         round(length(replace(text, ' ', '')) * 1e0 / {nw}, 4)
+           AS mean_word_len,
+         round((length(lower(text)) - length({stop_stripped})) * 1e0
+               / length(text), 4) AS stopword_mass,
+         round((length(text) - length({punct_stripped})) * 1e0
+               / length(text), 4) AS punct_ratio,
+         round({dw} * 1e0 / {nw}, 4) AS distinct_ratio
+  FROM pages
+)
+SELECT doc_id, lang, n_tokens, mean_word_len, stopword_mass, punct_ratio,
+       distinct_ratio,
+       CASE WHEN n_tokens >= 10 AND distinct_ratio >= 0.2
+                 AND punct_ratio <= 0.2 THEN 1 ELSE 0 END AS quality_pass
+FROM sig"""
+
+
+def q_perplexity_outliers(d: str) -> str:
+    """M3-M5 re-expression: corpus-level unigram LM -> per-doc mean token
+    surprisal ("perplexity" proxy, outlier_detection.py:77-92) -> per-lang
+    Iglewicz-Hoaglin modified z-score cut at |z| > 3 with exact
+    median/MAD (outlier_detection.py:95-113).  Pure DataFrame ops - the
+    per-cell FastText trainer becomes a counting LM, as allowed by
+    north_rule ('n-gram perplexity')."""
+    words = split_arr(d, "text", " ")
+    unnest_w = (
+        f"(SELECT doc_id, lang, unnest({words}) AS w FROM pages)"
+        if d == DUCK else
+        f"(SELECT doc_id, lang, w FROM pages "
+        f"LATERAL VIEW explode({words}) t AS w)"
+    )
+    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p),
+toks AS (SELECT * FROM {unnest_w} u WHERE length(w) > 0),
+vocab AS (
+  SELECT w, count(*) AS cnt FROM toks GROUP BY w
+),
+total AS (SELECT sum(cnt) AS n FROM vocab),
+doc_ll AS (
+  SELECT t.doc_id, t.lang,
+         round(avg(-ln(v.cnt * 1e0 / total.n)), 4) AS surprisal
+  FROM toks t JOIN vocab v ON t.w = v.w CROSS JOIN total
+  GROUP BY t.doc_id, t.lang
+),
+stats AS (
+  SELECT lang, median(surprisal) AS med FROM doc_ll GROUP BY lang
+),
+mad AS (
+  SELECT d2.lang, median(abs(d2.surprisal - s.med)) AS mad_v, min(s.med) AS med
+  FROM doc_ll d2 JOIN stats s ON d2.lang = s.lang GROUP BY d2.lang
+),
+scored AS (
+  SELECT d3.doc_id, d3.lang, d3.surprisal,
+         round(0.6745 * (d3.surprisal - m.med) / m.mad_v, 4) AS z
+  FROM doc_ll d3 JOIN mad m ON d3.lang = m.lang
+)
+SELECT doc_id, lang, surprisal, z,
+       CASE WHEN z > 3 THEN 'HIGH' WHEN z < -3 THEN 'LOW' ELSE 'IN' END
+         AS prediction
+FROM scored"""
+
+
+# ----- near-dup + similarity over documents/embeddings --------------------
+
+def q_minhash_pairs(d: str) -> str:
+    """MinHash-LSH near-dup candidates (ccspark.dedup.minhash_near_dups
+    semantics): 3-word shingles, 12 lexicographic-min md5 minhashes,
+    4 bands x 3 rows, candidates = shared band digest, output estimated
+    Jaccard."""
+    words = split_arr(d, "text", " ")
+    k = 3
+    nh, bands = 12, 4
+    rows_per_band = nh // bands
+    if d == SPARK:
+        sh_arr = (f"transform(sequence(0, greatest(size({words}) - {k}, 0)), "
+                  f"i -> concat_ws(' ', slice({words}, i + 1, {k})))")
+        sh = (f"(SELECT doc_id, shingle FROM documents "
+              f"LATERAL VIEW explode(array_distinct({sh_arr})) t AS shingle "
+              f"WHERE length(shingle) > 0)")
+        seeded = (f"(SELECT doc_id, seed, shingle FROM {sh} s "
+                  f"LATERAL VIEW explode(sequence(0, {nh - 1})) t AS seed)")
+        digest_agg = ("md5(concat_ws(',', sort_array(collect_list(minhash))))")
+    else:
+        sh_arr = (f"list_distinct(list_transform("
+                  f"range(1, greatest(len({words}) - {k} + 1, 1) + 1), "
+                  f"i -> array_to_string({words}[i:i+{k - 1}], ' ')))")
+        sh = (f"(SELECT doc_id, unnest({sh_arr}) AS shingle FROM documents)")
+        seeded = (f"(SELECT doc_id, seed, shingle FROM {sh} s, "
+                  f"(SELECT unnest(range(0, {nh})) AS seed) t)")
+        digest_agg = ("md5(string_agg(minhash, ',' ORDER BY minhash))")
+    return f"""WITH sig AS (
+  SELECT doc_id, seed,
+         min(md5(concat(seed, ':', shingle))) AS minhash
+  FROM {seeded} q WHERE length(shingle) > 0
+  GROUP BY doc_id, seed
+),
+banded AS (
+  SELECT doc_id, cast(floor(seed / {rows_per_band}.0) AS int) AS band, minhash
+  FROM sig
+),
+digests AS (
+  SELECT doc_id, band, {digest_agg} AS digest
+  FROM banded GROUP BY doc_id, band
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM digests a JOIN digests b
+    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT p.doc_a, p.doc_b,
+         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+               * 1e0 / {nh}, 4) AS jaccard_est
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.seed = sa.seed
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT * FROM est"""
+
+
+def q_simhash(d: str) -> str:
+    """16-bit SimHash fingerprint per document (majority vote over the
+    high bit of each hex digit of md5(word))."""
+    words = split_arr(d, "text", " ")
+    unnest_w = (
+        f"(SELECT doc_id, unnest({words}) AS w FROM documents)"
+        if d == DUCK else
+        f"(SELECT doc_id, w FROM documents "
+        f"LATERAL VIEW explode({words}) t AS w)"
+    )
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN substr(h, {i + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(16)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN cast({2 ** i} AS bigint) ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, md5(w) AS h FROM {unnest_w} u WHERE length(w) > 0
+),
+votes AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, cast({fp} AS bigint) AS simhash FROM votes"""
+
+
+def q_knn_cosine(d: str) -> str:
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 3):
+    the exact-ANN baseline over the embeddings table."""
+    if d == SPARK:
+        dot = ("aggregate(zip_with(a.embedding, b.embedding, "
+               "(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
+        na = ("sqrt(aggregate(transform(a.embedding, x -> x * x), "
+              "cast(0.0 as double), (acc, v) -> acc + v))")
+        nb = ("sqrt(aggregate(transform(b.embedding, x -> x * x), "
+              "cast(0.0 as double), (acc, v) -> acc + v))")
+        cos = f"round({dot} / ({na} * {nb}), 4)"
+    else:
+        cos = ("round(list_cosine_similarity(a.embedding, b.embedding), 4)")
+    return f"""WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         b.label AS neighbor_label, {cos} AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 3
+   AND b.vec_id <> a.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine, rk
+FROM ranked WHERE rk <= 5"""
+
+
+def q_ann_sign_lsh(d: str) -> str:
+    """Bucketed ANN: sign-LSH over 8 fixed dimensions = the scale path
+    (compare within-bucket only).  Returns top-3 within-bucket neighbors
+    for the same query vectors as q_knn_cosine."""
+    idx = lambda e, i: (f"element_at({e}, {i})" if d == SPARK else f"{e}[{i}]")
+    def bucket(e):
+        return ("concat(" + ", ".join(
+            f"CASE WHEN {idx(e, i)} >= 0 THEN '1' ELSE '0' END"
+            for i in (1, 9, 17, 25, 33, 41, 49, 57)) + ")")
+    if d == SPARK:
+        dot = ("aggregate(zip_with(a.embedding, b.embedding, "
+               "(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
+        na = ("sqrt(aggregate(transform(a.embedding, x -> x * x), "
+              "cast(0.0 as double), (acc, v) -> acc + v))")
+        nb = ("sqrt(aggregate(transform(b.embedding, x -> x * x), "
+              "cast(0.0 as double), (acc, v) -> acc + v))")
+        cos = f"round({dot} / ({na} * {nb}), 4)"
+    else:
+        cos = "round(list_cosine_similarity(a.embedding, b.embedding), 4)"
+    return f"""WITH bucketed AS (
+  SELECT vec_id, label, embedding, {bucket('embedding')} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
+         {cos} AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < 3 AND b.vec_id <> a.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, bucket, cosine, rk FROM ranked WHERE rk <= 3"""
+
+
+def q_token_stats(d: str) -> str:
+    """Token counting: whitespace tokens vs BPE-ish subword pieces
+    (letter-runs, digit-runs, single punctuation marks)."""
+    ws_words = split_arr(d, "text", " ")
+    nw = f"size({ws_words})" if d == SPARK else f"len({ws_words})"
+    pieces = rrep(d, "text", "([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ])", "\\1\x1f")
+    npieces = (f"size(filter(split({pieces}, '\x1f'), x -> length(x) > 0))"
+               if d == SPARK else
+               f"len(list_filter(string_split({pieces}, '\x1f'), "
+               f"x -> length(x) > 0))")
+    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p)
+SELECT doc_id, lang,
+       {nw} AS ws_tokens,
+       {npieces} AS subword_pieces,
+       length(text) AS n_chars
+FROM pages"""
+
+
+def q_doc_fingerprint(d: str) -> str:
+    """Winnowing-style document fingerprinting: 4-gram word shingles,
+    min md5 per window of 4 consecutive shingles -> distinct fingerprint
+    set per doc (rolling-hash fingerprint family)."""
+    words = split_arr(d, "text", " ")
+    k, w = 4, 4
+    if d == SPARK:
+        sh_arr = (f"transform(sequence(0, greatest(size({words}) - {k}, 0)), "
+                  f"i -> md5(concat_ws(' ', slice({words}, i + 1, {k}))))")
+        sh = (f"(SELECT doc_id, pos, sh FROM documents "
+              f"LATERAL VIEW posexplode({sh_arr}) t AS pos, sh)")
+    else:
+        sh_arr = (f"list_transform("
+                  f"range(1, greatest(len({words}) - {k} + 1, 1) + 1), "
+                  f"i -> md5(array_to_string({words}[i:i+{k - 1}], ' ')))")
+        sh = (f"(SELECT doc_id, generate_subscripts({sh_arr}, 1) - 1 AS pos, "
+              f"unnest({sh_arr}) AS sh FROM documents)")
+    return f"""WITH shingles AS (SELECT * FROM {sh} s),
+windows AS (
+  SELECT doc_id, cast(floor(pos / {w}.0) AS int) AS win, min(sh) AS fingerprint
+  FROM shingles GROUP BY doc_id, cast(floor(pos / {w}.0) AS int)
+)
+SELECT doc_id, fingerprint, count(*) AS n_windows
+FROM windows GROUP BY doc_id, fingerprint"""
+
+
+# ----- general relational coverage (joins/aggs/windows the engine offers) --
+
+def q_tpch_pricing_summary(d: str) -> str:
+    """TPC-H Q1 shape over lineitem: grouped aggregates w/ arithmetic."""
+    return """SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= date '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_top_customers_per_nation(d: str) -> str:
+    """Join + window top-k: 3 highest-spending customers per nation."""
+    return """WITH spend AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         round(sum(o.o_totalprice), 2) AS total_spend
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY n_name
+                               ORDER BY total_spend DESC, c_custkey) AS rk
+  FROM spend
+)
+SELECT n_name, c_custkey, c_name, total_spend, rk FROM ranked
+WHERE rk <= 3"""
+
+
+def q_events_sessionization(d: str) -> str:
+    """Gaps-and-islands sessionization over the events stream table:
+    a session breaks after > 30 min idle per user (epoch arithmetic -
+    cross-engine-safe)."""
+    ep = ("unix_timestamp(ts)" if d == SPARK
+          else "cast(floor(epoch(ts)) AS bigint)")
+    return f"""WITH ev AS (
+  SELECT user_id, event_type, value, {ep} AS ets FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN ets - lag(ets) OVER (PARTITION BY user_id
+                                           ORDER BY ets, event_type) > 1800
+                 THEN 1 ELSE 0 END AS new_session
+  FROM ev
+),
+sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ets, event_type
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND
+                                   CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 2) AS session_value,
+       max(ets) - min(ets) AS duration_s
+FROM sessions GROUP BY user_id, session_id"""
+
+
+# ==========================================================================
+
+QUERY_BUILDERS: dict[str, Callable[[str], str]] = {
+    "corpus_lines": q_corpus_lines,
+    "geo_pages": q_geo_pages,
+    "cell_metrics": q_cell_metrics,
+    "drop_reasons": q_drop_reasons,
+    "dedup_keep_none": q_dedup_keep_none,
+    "page_reassembly": q_page_reassembly,
+    "domain_word_chunks": q_domain_word_chunks,
+    "pii_scrub": q_pii_scrub,
+    "url_filter_stats": q_url_filter_stats,
+    "iso_join": q_iso_join,
+    "country_cap": q_country_cap,
+    "shard_assign": q_shard_assign,
+    "langid_agreement": q_langid_agreement,
+    "quality_signals": q_quality_signals,
+    "perplexity_outliers": q_perplexity_outliers,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "knn_cosine": q_knn_cosine,
+    "ann_sign_lsh": q_ann_sign_lsh,
+    "token_stats": q_token_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "tpch_pricing_summary": q_tpch_pricing_summary,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "events_sessionization": q_events_sessionization,
+}
+
+
+def spark_query(name: str):
+    """queries() entry: (spark, sf_dir) -> DataFrame."""
+    def run(spark, sf_dir):
+        ensure_views(spark, sf_dir)
+        return spark.sql(QUERY_BUILDERS[name](SPARK))
+    run.__name__ = f"q_{name}"
+    return run
+
+
+def oracle_queries() -> dict[str, str]:
+    return {name: fn(DUCK) for name, fn in QUERY_BUILDERS.items()}

@@ -1,0 +1,111 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its oracle_sql()
+twin on DuckDB at sf0.01, then compares row count, column names, and an
+order-insensitive value digest (rows sorted, columns sorted by name,
+floats rounded).  Prints one line per query: MATCH / MISMATCH / ERROR.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, bool):
+                v = int(v)
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 4)
+                    v = 0.0 if v == 0 else v
+            if v is None:
+                v = "\x00NULL"
+            vals.append(str(v))
+        out.append("\x01".join(vals))
+    out.sort()
+    return out
+
+
+def main() -> None:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from ccspark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("check-oracle", cores=8)
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_ok = n_bad = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"{name}: ERROR spark: {str(e)[:300]}")
+            n_bad += 1
+            continue
+        if name not in oracles:
+            print(f"{name}: NO-ORACLE rows={len(srows)} (rows-only check)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = rel.columns
+            drows = rel.fetchall()
+        except Exception as e:
+            print(f"{name}: ERROR duckdb: {str(e)[:300]}")
+            n_bad += 1
+            continue
+        if sorted(scols) != sorted(dcols):
+            print(f"{name}: MISMATCH schema spark={sorted(scols)} "
+                  f"duck={sorted(dcols)}")
+            n_bad += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"{name}: MISMATCH rowcount spark={len(srows)} "
+                  f"duck={len(drows)}")
+            n_bad += 1
+            continue
+        cs, cd = canon(srows, scols), canon(drows, dcols)
+        if cs != cd:
+            diff = next(
+                (i for i, (a, b) in enumerate(zip(cs, cd)) if a != b), -1)
+            print(f"{name}: MISMATCH values rows={len(srows)} "
+                  f"first_diff@{diff}:")
+            if diff >= 0:
+                print(f"   spark: {cs[diff][:220]}")
+                print(f"   duck : {cd[diff][:220]}")
+            n_bad += 1
+            continue
+        print(f"{name}: MATCH rows={len(srows)}")
+        n_ok += 1
+    print(f"== {n_ok} match, {n_bad} mismatch/error ==")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
