@@ -1,0 +1,86 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints exactly ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is end-to-end corpus-pipeline throughput (docs/sec) at
+the bench scale; per-query wall seconds are reported alongside.  Set
+BENCH_SCALING=1 to also run the N-vs-4N-cores scaling evidence (slower;
+normally done via scripts/scaling_evidence.py which writes BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+
+    from ccspark.session import get_spark
+    from ccspark.fixtures_sql import pages_spark
+    from ccspark import pipeline, queries as Q
+    from ccspark.sqlgen import SPARK
+
+    spark = get_spark("bench", cores=cpus)
+
+    # fixture synthesis is input prep, not pipeline work - excluded
+    pages = pages_spark(spark, sf_dir, materialize=True)
+    n_docs = pages.count()
+    Q.ensure_views(spark, sf_dir)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, thunk, warm: bool = False):
+        if warm:
+            thunk()
+        t0 = time.time()
+        thunk()
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship: production pandas-UDF pipeline end-to-end (warm once to
+    # exclude JVM/python-worker startup from the throughput number)
+    timed("corpus_pipeline",
+          lambda: pipeline.corpus_lines(pages).count(), warm=True)
+    timed("cell_metrics", lambda: pipeline.cell_metrics(pages).count())
+
+    sql_queries = (
+        "corpus_lines",          # pure-SQL rendering of the same pipeline
+        "quality_signals",
+        "perplexity_outliers",
+        "minhash_pairs",
+        "simhash",
+        "knn_cosine",
+        "token_stats",
+        "doc_fingerprint",
+        "pii_scrub",
+        "tpch_pricing_summary",
+        "top_customers_per_nation",
+        "events_sessionization",
+    )
+    for name in sql_queries:
+        sql = Q.QUERY_BUILDERS[name](SPARK)
+        timed(name, lambda s=sql: spark.sql(s).count())
+
+    docs_per_sec = round(n_docs / max(timings["corpus_pipeline"], 1e-9), 1)
+    out = {
+        "metric": "corpus_pipeline_wall_sec",
+        "value": timings["corpus_pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "n_docs": n_docs,
+        "docs_per_sec": docs_per_sec,
+        "cores": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -23,20 +23,16 @@ import re
 from ccspark import regexes as R
 
 # Precompiled once per process (executors import this module once).
-_SUBS = tuple(
-    (re.compile(pat), rep)
-    for pat, rep in (
-        (R.RE_URL, ""),
-        (R.RE_AT, ""),
-        (R.RE_HASHTAG, ""),
-        (R.RE_ANGLE, ""),
-        (R.EMOJI_CLASS, ""),
-        (R.RE_GENSIM_TAGS, ""),
-        (R.RE_AL_NUM, "\\1 \\2"),
-        (R.RE_NUM_AL, "\\1 \\2"),
-        (R.RE_MULTI_WS, " "),
-    )
-)
+_RE_URL = re.compile(R.RE_URL)
+_RE_AT = re.compile(R.RE_AT)
+_RE_HASHTAG = re.compile(R.RE_HASHTAG)
+_RE_ANGLE = re.compile(R.RE_ANGLE)
+_RE_EMOJI = re.compile(R.EMOJI_CLASS)
+_RE_GTAGS = re.compile(R.RE_GENSIM_TAGS)
+_RE_AL_NUM = re.compile(R.RE_AL_NUM)
+_RE_NUM_AL = re.compile(R.RE_NUM_AL)
+_RE_WS = re.compile(R.RE_MULTI_WS)
+_RE_DIGIT = re.compile("[0-9]")
 _RE_ILLEGAL = re.compile(R.ILLEGAL_CLASS)
 _RE_NUMERIC = re.compile(R.RE_NUMERIC)
 _RE_PUNCT = re.compile(R.PUNCT_CLASS)
@@ -47,10 +43,29 @@ _STRIP_ALPHABETS = tuple(
 
 
 def clean_line(line: str) -> str:
-    """Steps 2-6: strip urls/@/#/tags, emoji, gensim tag/alnum/ws filters."""
-    for rx, rep in _SUBS:
-        line = rx.sub(rep, line)
-    return line
+    """Steps 2-6: strip urls/@/#/tags, emoji, gensim tag/alnum/ws filters.
+
+    Cheap substring guards skip regex passes whose trigger characters are
+    absent (most lines carry no url/@/#/tag/emoji/digit); application
+    ORDER is unchanged from the reference chain, and each guard is exact
+    (a pattern can't match without its trigger char), so output is
+    byte-identical - property-tested against tests/oracle.py."""
+    if "http" in line:
+        line = _RE_URL.sub("", line)
+    if "@" in line:
+        line = _RE_AT.sub("", line)
+    if "#" in line:
+        line = _RE_HASHTAG.sub("", line)
+    if "<" in line:
+        line = _RE_ANGLE.sub("", line)
+    if not line.isascii():
+        line = _RE_EMOJI.sub("", line)
+    if "<" in line:
+        line = _RE_GTAGS.sub("", line)
+    if _RE_DIGIT.search(line):
+        line = _RE_AL_NUM.sub("\\1 \\2", line)
+        line = _RE_NUM_AL.sub("\\1 \\2", line)
+    return _RE_WS.sub(" ", line)
 
 
 def _has_alpha(s: str) -> bool:
@@ -73,18 +88,43 @@ def verdict(raw: str):
     if raw is None or len(raw) <= 15:
         return None, False, "rawlen"
     c = clean_line(raw)
-    if len(c) <= 15:
+    n = len(c)
+    if n <= 15:
         return c, False, "postlen"
     if _RE_ILLEGAL.search(c):
         return c, False, "illegal"
     if len(_RE_PUNCT.sub(" ", _RE_NUMERIC.sub("", c))) <= 12:
         return c, False, "alphamass"
-    if len(c) < (15 if short_threshold(c) else 50):
-        return c, False, "cjklen"
+    if n < 50:
+        # only 16..49-char lines need the alphabet scan: >=50 passes both
+        # thresholds, and a line reaching here is always >= 16 so the
+        # short (15) threshold always passes when it applies.
+        if c.isascii():
+            short = not _has_alpha(c)   # ascii letters are LATIN-named
+        else:
+            short = short_threshold(c)
+        if not short:
+            return c, False, "cjklen"
     for ch, k in R.PUNCT_BUDGET:
         if c.count(ch) >= k:
             return c, False, "punct"
     return c, True, None
+
+
+def process_page(text: str):
+    """Reference record-level UDTF semantics (cc_corpus.py:252-293): split
+    a page into lines (str.splitlines - exact reference line boundaries),
+    run the kernel, return kept lines with their 1-based kept-line
+    ordinal."""
+    out = []
+    n = 0
+    if text:
+        for raw in text.splitlines():
+            c, keep, _ = verdict(raw)
+            if keep:
+                n += 1
+                out.append((n, c))
+    return out
 
 
 def make_clean_verdict_udf():
