@@ -90,7 +90,21 @@ def pages_spark(spark, sf_dir: str, materialize: bool = False):
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = f"/tmp/ccspark_pages_{tag}.parquet"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # full input_hint schema: (url, warc_ts, html binary, text, lang).
+        # html is a deterministic wrapper the kernel never reads - it
+        # exercises column pruning; warc_ts a deterministic crawl window.
+        from pyspark.sql import functions as F
+        full = (df
+                .withColumn("warc_ts",
+                            F.timestamp_seconds(F.lit(1664032538)
+                                                + F.col("doc_id")))
+                .withColumn("html",
+                            F.encode(F.concat(F.lit("<html><body>"),
+                                              F.col("text"),
+                                              F.lit("</body></html>")),
+                                     "UTF-8"))
+                .select("doc_id", "url", "warc_ts", "html", "text", "lang"))
         # split into many files like a real crawl table (one task per split)
         nfiles = max(8, int(spark.conf.get("spark.sql.shuffle.partitions")))
-        df.repartition(nfiles, "doc_id").write.mode("overwrite").parquet(path)
+        full.repartition(nfiles, "doc_id").write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

@@ -131,9 +131,12 @@ def corpus_lines(pages: DataFrame) -> DataFrame:
     df = explode_lines(df)
     df = clean_and_filter(df)
     df = number_and_hash(df)
-    df = dedup_keep_first(df)
-    return df.select(
+    # project to the output columns BEFORE dedup: the keep-first aggregate
+    # packs its payload into a struct, which would otherwise smuggle every
+    # upstream column (html!) past Catalyst's column pruning
+    df = df.select(
         "domain", "tld", "country", "region", "url", "line_id", "text", "hash")
+    return dedup_keep_first(df)
 
 
 def cell_metrics(pages: DataFrame) -> DataFrame:

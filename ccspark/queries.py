@@ -360,7 +360,9 @@ def q_perplexity_outliers(d: str) -> str:
     """M3-M5 re-expression: corpus-level unigram LM -> per-doc mean token
     surprisal ("perplexity" proxy, outlier_detection.py:77-92) -> per-lang
     Iglewicz-Hoaglin modified z-score cut at |z| > 3 with exact
-    median/MAD (outlier_detection.py:95-113).  Pure DataFrame ops - the
+    median/MAD (outlier_detection.py:95-113).  Reference orientation:
+    the score is mean token LOG-LIKELIHOOD (misnamed "Perplexity" there,
+    outlier_detection.py:84) so HIGH = too predictable, LOW = too random.  Pure DataFrame ops - the
     per-cell FastText trainer becomes a counting LM, as allowed by
     north_rule ('n-gram perplexity')."""
     words = split_arr(d, "text", " ")
@@ -378,23 +380,23 @@ vocab AS (
 total AS (SELECT sum(cnt) AS n FROM vocab),
 doc_ll AS (
   SELECT t.doc_id, t.lang,
-         round(avg(-ln(v.cnt * 1e0 / total.n)), 4) AS surprisal
+         round(avg(ln(v.cnt * 1e0 / total.n)), 4) AS loglik
   FROM toks t JOIN vocab v ON t.w = v.w CROSS JOIN total
   GROUP BY t.doc_id, t.lang
 ),
 stats AS (
-  SELECT lang, median(surprisal) AS med FROM doc_ll GROUP BY lang
+  SELECT lang, median(loglik) AS med FROM doc_ll GROUP BY lang
 ),
 mad AS (
-  SELECT d2.lang, median(abs(d2.surprisal - s.med)) AS mad_v, min(s.med) AS med
+  SELECT d2.lang, median(abs(d2.loglik - s.med)) AS mad_v, min(s.med) AS med
   FROM doc_ll d2 JOIN stats s ON d2.lang = s.lang GROUP BY d2.lang
 ),
 scored AS (
-  SELECT d3.doc_id, d3.lang, d3.surprisal,
-         round(0.6745 * (d3.surprisal - m.med) / m.mad_v, 4) AS z
+  SELECT d3.doc_id, d3.lang, d3.loglik,
+         round(0.6745 * (d3.loglik - m.med) / m.mad_v, 4) AS z
   FROM doc_ll d3 JOIN mad m ON d3.lang = m.lang
 )
-SELECT doc_id, lang, surprisal, z,
+SELECT doc_id, lang, loglik, z,
        CASE WHEN z > 3 THEN 'HIGH' WHEN z < -3 THEN 'LOW' ELSE 'IN' END
          AS prediction
 FROM scored"""

@@ -1,0 +1,72 @@
+"""Structured Streaming surfaces.
+
+The reference is pure batch (SURVEY par.2.10) - its "streaming" is
+resume-from-marker-files.  These demos show the same pipeline running
+incrementally, the natural shape for continuous crawl ingestion at scale:
+
+  * stream_corpus_build - file-source pages stream -> geo gate -> explode
+    -> clean/keep kernel (the pandas UDF works unchanged in streaming) ->
+    stable hash -> streaming dropDuplicates -> parquet sink with
+    checkpointing.  Trigger.AvailableNow processes the backlog and stops,
+    giving exactly-once file-granular progress via the checkpoint dir
+    (the streaming twin of ccspark.checkpoint).
+    NOTE: the per-page line ordinal (a window) is not stream-computable;
+    the stream emits (url, pos) and ordinals are assigned at read time or
+    by the batch compactor.
+  * windowed_event_counts - event-time tumbling window + watermark over
+    the events table (late-data handling demo).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ccspark import pipeline
+
+
+def stream_corpus_build(spark: SparkSession, in_dir: str, out_dir: str,
+                        checkpoint_dir: str, schema: str | None = None):
+    """Run the corpus pipeline incrementally over a parquet file source;
+    returns the finished StreamingQuery (AvailableNow: drains + stops)."""
+    reader = spark.readStream
+    if schema is None:
+        static = spark.read.parquet(in_dir)
+        reader = reader.schema(static.schema)
+    else:
+        reader = reader.schema(schema)
+    pages = reader.parquet(in_dir)
+
+    df = pipeline.with_geo(pages)
+    df = pipeline.explode_lines(df)
+    df = pipeline.clean_and_filter(df)
+    df = (df.withColumn("hash", F.xxhash64("text"))
+            .select("domain", "tld", "country", "region", "url",
+                    "pos", "text", "hash")
+            .dropDuplicates(["hash"]))
+
+    q = (df.writeStream
+         .format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
+def windowed_event_counts(spark: SparkSession, events: DataFrame,
+                          window: str = "10 minutes",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Event-time tumbling-window aggregation with a watermark; written as
+    a function of a (possibly streaming) events DataFrame so the same code
+    serves batch backfill and the live stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "total_value")
+    )

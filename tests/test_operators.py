@@ -1,0 +1,197 @@
+"""Module-level operator tests: greedy chunker, trainable LID +
+agreement filter, perplexity outliers, PII scrub."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from ccspark import chunker, lid, quality, scrub
+
+
+# ---------------- chunker (A3) ----------------
+
+def test_greedy_chunker_matches_transcription(spark):
+    rows = []
+    random.seed(3)
+    for d, dom in enumerate(["alpha", "beta"]):
+        for i in range(6):
+            words = " ".join(f"w{random.randint(0, 30)}" for _ in range(40))
+            rows.append(Row(domain=dom, url=f"https://{dom}.de/{i}",
+                            text=words + "\nsecond line here\r\nthird"))
+    df = spark.createDataFrame(rows)
+    out = chunker.domain_samples(df, chunksize=60).collect()
+
+    # reference-transcription on driver for one domain
+    import pandas as pd
+    pdf = pd.DataFrame([r.asDict() for r in rows if r.domain == "alpha"])
+    exp = chunker.greedy_chunks_pdf(pdf, 60)
+    got = sorted([(r.chunk_id, r.n_words, r.text) for r in out
+                  if r.domain == "alpha"])
+    assert got == sorted(map(tuple, exp[["chunk_id", "n_words", "text"]]
+                             .itertuples(index=False, name=None)))
+    # every domain emits its tail; chunks exceed the threshold except tails
+    for r in out:
+        if r.chunk_id < max(x.chunk_id for x in out
+                            if x.domain == r.domain):
+            assert r.n_words > 60
+
+
+def test_chunker_resets_on_overflow(spark):
+    text = " ".join(f"w{i}" for i in range(25))   # 25 words per row
+    df = spark.createDataFrame(
+        [Row(domain="d", url=f"https://d.de/{i}", text=text)
+         for i in range(4)])
+    out = {r.chunk_id: r for r in chunker.domain_samples(df, 30).collect()}
+    # rows of 25 words: chunk emitted at 50 (>30), next at 50, tail 0
+    assert out[0].n_words == 50 and out[1].n_words == 50
+    assert len(out) == 2
+
+
+# ---------------- LID (M1/M2) ----------------
+
+LANG_WORDS = {
+    "en": "the quick brown fox jumps over lazy dog with many words today",
+    "de": "der schnelle braune fuchs springt über den faulen hund heute",
+    "fr": "le renard brun rapide saute par dessus le chien paresseux",
+}
+
+
+def lang_docs(spark, n_per_lang=30, seed=7):
+    random.seed(seed)
+    rows = []
+    i = 0
+    for lang, vocab in LANG_WORDS.items():
+        words = vocab.split()
+        for _ in range(n_per_lang):
+            text = " ".join(random.choice(words) for _ in range(30))
+            rows.append(Row(doc_id=i, text=text, lang=lang))
+            i += 1
+    return spark.createDataFrame(rows)
+
+
+def test_lid_train_predict(spark):
+    docs = lang_docs(spark)
+    model = lid.train(docs, n=3, top_k=500)
+    pred = lid.predict(spark, docs, model).collect()
+    acc = sum(r.lang_pred == r.lang for r in pred) / len(pred)
+    assert acc >= 0.95, acc
+
+
+def test_lid_min_len_threshold_ukn(spark):
+    docs = lang_docs(spark)
+    model = lid.train(docs, n=3, top_k=500)
+    short = spark.createDataFrame([Row(doc_id=0, text="der der der",
+                                       lang="de")])
+    got = lid.predict(spark, short, model, min_len=150).collect()[0]
+    assert got.lang_pred == "ukn"   # geoWAC.py:19-22 threshold semantics
+
+
+def test_agreement_filter(spark):
+    docs = lang_docs(spark)
+    m2 = lid.train(docs, n=2, top_k=500)
+    m3 = lid.train(docs, n=3, top_k=500)
+    mislabeled = spark.createDataFrame(
+        [Row(doc_id=999,
+             text=("the quick brown fox jumps over lazy dog with many "
+                   "words today and more of the same english text here "
+                   "to comfortably cross the one hundred fifty character "
+                   "minimum for scoring"),
+             lang="de")])
+    good = docs.where(F.length("text") > 150)
+    kept = lid.agreement_filter(spark, good.union(mislabeled), m2, m3,
+                                min_len=100)
+    ids = {r.doc_id for r in kept.collect()}
+    assert 999 not in ids
+    assert len(ids) >= good.count() * 0.9
+
+
+# ---------------- quality / outliers (M3-M5) ----------------
+
+def test_outlier_cut_planted(spark):
+    random.seed(11)
+    vocab = [f"tok{i}" for i in range(50)]
+    rows = []
+    for i in range(40):
+        rows.append(Row(doc_id=i, lang="en",
+                        text=" ".join(random.choice(vocab)
+                                      for _ in range(60))))
+    # planted: hyper-repetitive (too predictable -> HIGH side)
+    rows.append(Row(doc_id=100, lang="en", text="tok0 " * 60))
+    # planted: all-rare tokens (too random -> LOW side)
+    rows.append(Row(doc_id=101, lang="en",
+                    text=" ".join(f"rare{i}" for i in range(60))))
+    docs = spark.createDataFrame(rows)
+    scored = quality.score_loglik(docs, group_cols=("lang",))
+    marked = quality.mark_outliers(scored, group_cols=("lang",),
+                                   z_cut=3.0, min_words=0)
+    by_id = {r.doc_id: r.prediction for r in marked.collect()}
+    assert by_id[100] == "HIGH"
+    assert by_id[101] == "LOW"
+    n_in = sum(1 for v in by_id.values() if v == "IN")
+    assert n_in >= 38
+
+
+def test_outlier_min_words_gate(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", text="a few words here")
+         for i in range(5)])
+    scored = quality.score_loglik(docs, group_cols=("lang",))
+    marked = quality.mark_outliers(scored, group_cols=("lang",),
+                                   min_words=5_000_000)
+    assert {r.prediction for r in marked.collect()} == {"ORIGINAL"}
+
+
+def test_remove_outliers_roundtrip(spark):
+    random.seed(5)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = [Row(doc_id=i, lang="en",
+                text=" ".join(random.choice(vocab) for _ in range(50)))
+            for i in range(30)]
+    # unigram-LM outlier: 50 singleton tokens -> extreme low loglik
+    rows.append(Row(doc_id=99, lang="en",
+                    text=" ".join(f"zz{i}" for i in range(50))))
+    docs = spark.createDataFrame(rows)
+    kept = quality.remove_outliers(docs, group_cols=("lang",), min_words=0)
+    ids = {r.doc_id for r in kept.collect()}
+    assert 99 not in ids and len(ids) >= 28
+
+
+# ---------------- scrub (F17) ----------------
+
+def test_scrub_each_pii_type(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="mail me at jane.doe+x@corp.example.org now"),
+        Row(doc_id=1, text="call +1 (555) 123-4567 tomorrow"),
+        Row(doc_id=2, text="server at 192.168.10.250 port open"),
+        Row(doc_id=3, text="ssn 123-45-6789 leaked"),
+        Row(doc_id=4, text="nothing sensitive here at all"),
+    ])
+    out = {r.doc_id: r for r in scrub.scrub(df).collect()}
+    assert out[0].scrubbed_text == "mail me at <EMAIL> now"
+    assert out[1].scrubbed_text == "call <PHONE> tomorrow"
+    assert out[2].scrubbed_text == "server at <IP> port open"
+    assert out[3].scrubbed_text == "ssn <SSN> leaked"
+    assert out[4].scrubbed_text == out[4].text
+    assert out[4].n_pii_types == 0
+    assert out[0].has_email and not out[0].has_phone
+    assert out[3].has_ssn
+
+
+def test_scrub_order_ip_not_phone(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="ip 10.20.30.40 end")])
+    got = scrub.scrub(df).collect()[0]
+    assert got.scrubbed_text == "ip <IP> end"
+
+
+def test_blocklist_filter(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="a perfectly fine sentence"),
+        Row(doc_id=1, text="contains BADWORD somewhere"),
+        Row(doc_id=2, text="badwordish is not blocked"),
+    ])
+    bl = spark.createDataFrame([Row(term="badword")])
+    kept = {r.doc_id for r in scrub.blocklist_filter(df, bl).collect()}
+    assert kept == {0, 2}

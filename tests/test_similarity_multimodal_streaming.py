@@ -1,0 +1,130 @@
+"""Similarity search (exact + IVF), multimodal binary plumbing, and
+structured-streaming pipeline tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from ccspark import multimodal, similarity, streaming
+from ccspark.fixtures_sql import pages_spark
+
+
+# ---------------- similarity ----------------
+
+def emb(spark, sf="/root/testdata/sf0.001"):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def test_cosine_knn_exact(spark):
+    e = emb(spark)
+    q = e.where(F.col("vec_id") < 3)
+    out = similarity.cosine_knn(e, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rk)
+        assert [r.rk for r in rs] == [1, 2, 3, 4, 5]
+        assert all(rs[i].cosine >= rs[i + 1].cosine for i in range(4))
+        assert all(r.neighbor_id != qid for r in rs)
+
+
+def test_ivf_knn_recall(spark):
+    e = emb(spark)
+    q = e.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_knn(e, q, k=3).collect()
+    assigned, cents = similarity.build_ivf(e, n_lists=4)
+    approx = similarity.ivf_knn(assigned, cents, q, k=3, nprobe=2).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, recall          # nprobe=2 of 4 lists
+    # full probe == exact
+    full = similarity.ivf_knn(assigned, cents, q, k=3, nprobe=4).collect()
+    assert {(r.query_id, r.neighbor_id) for r in full} == exact_set
+
+
+# ---------------- multimodal ----------------
+
+def test_media_meta_sniffs_types(spark):
+    rows = [
+        Row(doc_id=0, html=bytearray(b"\xff\xd8\xff\xe0rest-of-jpeg")),
+        Row(doc_id=1, html=bytearray(b"\x89PNG\r\n\x1a\nrest")),
+        Row(doc_id=2, html=bytearray(b"<htmlfoo")),
+        Row(doc_id=3, html=bytearray(b"\x00\x01\x02\x03")),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.doc_id: r for r in multimodal.media_meta(df).collect()}
+    assert got[0].media_type == "jpeg"
+    assert got[1].media_type == "png"
+    assert got[2].media_type == "html"
+    assert got[3].media_type == "unknown"
+    assert got[0].size_bytes == len(rows[0].html)
+
+
+def test_decode_images_stub_deterministic(spark):
+    pages = pages_spark(spark, "/root/testdata/sf0.001", materialize=True)
+    out = multimodal.decode_images(pages.limit(20))
+    rows = out.collect()
+    assert len(rows) == 20
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,width:int,height:int,channels:int,"
+        "format:string,ok:boolean>")
+    again = {r.doc_id: (r.width, r.height)
+             for r in multimodal.decode_images(pages.limit(20)).collect()}
+    for r in rows:
+        assert again[r.doc_id] == (r.width, r.height)
+        assert r.ok
+
+
+def test_decode_strict_raises_without_codec(spark):
+    pages = pages_spark(spark, "/root/testdata/sf0.001", materialize=True)
+    if multimodal._try_real_decoder() is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_images(pages, strict=True)
+
+
+def test_sample_frames_fanout(spark):
+    pages = pages_spark(spark, "/root/testdata/sf0.001", materialize=True)
+    out = multimodal.sample_frames(pages.limit(5), n_frames=3).collect()
+    assert len(out) == 15
+    assert {r.frame_idx for r in out} == {0, 1, 2}
+    assert all(r.frame is not None for r in out)
+
+
+# ---------------- streaming ----------------
+
+def test_stream_corpus_matches_batch(spark, tmp_path):
+    pages = pages_spark(spark, "/root/testdata/sf0.001", materialize=True)
+    in_dir = str(tmp_path / "in")
+    pages.limit(100).repartition(4).write.parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    streaming.stream_corpus_build(spark, in_dir, out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+
+    from ccspark import pipeline
+    batch_in = spark.read.parquet(in_dir)
+    df = pipeline.clean_and_filter(
+        pipeline.explode_lines(pipeline.with_geo(batch_in)))
+    batch_hashes = {r.hash for r in
+                    df.withColumn("hash", F.xxhash64("text"))
+                      .select("hash").distinct().collect()}
+    assert {r.hash for r in got.select("hash").collect()} == batch_hashes
+    # idempotent restart: checkpoint knows all files are done -> no new rows
+    streaming.stream_corpus_build(spark, in_dir, out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == len(batch_hashes)
+
+
+def test_windowed_event_counts_batch_mode(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = streaming.windowed_event_counts(spark, events).collect()
+    assert out
+    total = sum(r.n_events for r in out)
+    assert total == events.count()
+    for r in out:
+        assert (r.window_end - r.window_start).total_seconds() == 600
