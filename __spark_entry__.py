@@ -31,7 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md par.2."""
-    return {name: Q.spark_query(name) for name in Q.QUERY_BUILDERS}
+    out = {name: Q.spark_query(name) for name in Q.QUERY_BUILDERS}
+    out.update(Q.MODULE_QUERIES)   # non-SQL ops: driver rows-only check
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -61,61 +61,70 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 3,
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 16,
                        id_col: str = "doc_id") -> DataFrame:
-    """MinHash signature: for seed i, min over md5(seed || shingle).
-
-    Lexicographic min over the md5 hex strings is a valid min-wise hash
-    family and - unlike xxhash64 - computes identically in DuckDB, so the
-    oracle can check signatures exactly.  One row per (doc, seed)."""
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    seeded = sh.select(
-        id_col, F.explode(seeds).alias("seed"),
-        F.col("shingle"))
-    sig = seeded.groupBy(id_col, "seed").agg(
-        F.min(F.md5(F.concat(F.col("seed").cast("string"),
-                             F.lit(":"), F.col("shingle")))).alias("minhash"))
-    return sig
+    """Wide MinHash signature: ONE md5 per shingle reduced to a 31-bit
+    int h, then num_hashes affine hashes h_i = (a_i*h + b_i) mod (2^31-1)
+    aggregated as min() COLUMNS in a single groupBy - no per-seed row
+    explosion, one shuffle.  31-bit values keep a_i*h inside int64
+    (Spark 4 ANSI mode raises on bigint overflow)."""
+    P = 2147483647
+    h = (F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10)
+         .cast("long"))
+    hashed = sh.select(id_col, h.alias("_h"))
+    mins = [
+        F.min((F.lit(1103515245 + 2 * i) * F.col("_h")
+               + F.lit(12345 + 7 * i)) % P).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 4,
                         id_col: str = "doc_id") -> DataFrame:
-    """Band the signature (rows_per_band = num_hashes/bands), bucket by the
-    band digest, emit candidate pairs that share any bucket."""
-    nh = sig.groupBy(id_col).count().agg(F.max("count")).collect()[0][0]
-    rows_per_band = max(1, int(nh) // bands)
-    banded = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    digests = banded.groupBy(id_col, "band").agg(
-        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash"))))
-        .alias("digest"))
+    """Band the wide signature (rows_per_band = num_hashes/bands), bucket
+    by the band digest, emit candidate pairs sharing any bucket."""
+    mcols = [c for c in sig.columns if c.startswith("m")]
+    rows_per_band = max(1, len(mcols) // bands)
+    digests = None
+    for bi in range(bands):
+        cols = mcols[bi * rows_per_band:(bi + 1) * rows_per_band]
+        if not cols:
+            break
+        part = sig.select(
+            id_col, F.lit(bi).alias("band"),
+            F.md5(F.concat_ws(",", *cols)).alias("digest"))
+        digests = part if digests is None else digests.unionByName(part)
     a, b = digests.alias("a"), digests.alias("b")
-    pairs = (
+    return (
         a.join(b, ["band", "digest"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("doc_a"),
                 F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
-    return pairs
 
 
 def minhash_near_dups(docs: DataFrame, text_col: str = "text", k: int = 3,
                       num_hashes: int = 16, bands: int = 4,
                       id_col: str = "doc_id") -> DataFrame:
     """End-to-end MinHash-LSH near-dup candidate pairs with estimated
-    Jaccard (fraction of agreeing minhashes)."""
+    Jaccard (fraction of agreeing minhash columns)."""
     sh = shingles(docs, text_col, k, id_col)
     sig = minhash_signatures(sh, num_hashes, id_col)
     pairs = lsh_candidate_pairs(sig, bands, id_col)
-    a = sig.select(F.col(id_col).alias("doc_a"), "seed",
-                   F.col("minhash").alias("mh_a"))
-    b = sig.select(F.col(id_col).alias("doc_b"), "seed",
-                   F.col("minhash").alias("mh_b"))
-    est = (
-        pairs.join(a, "doc_a").join(b, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b")
-        .agg((F.sum((F.col("mh_a") == F.col("mh_b")).cast("int"))
-              / F.count("*")).alias("jaccard_est"))
+    mcols = [c for c in sig.columns if c.startswith("m")]
+    sa = sig.select(F.col(id_col).alias("doc_a"),
+                    *[F.col(c).alias(f"a_{c}") for c in mcols])
+    sb = sig.select(F.col(id_col).alias("doc_b"),
+                    *[F.col(c).alias(f"b_{c}") for c in mcols])
+    agree = None
+    for c in mcols:
+        t = (F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int")
+        agree = t if agree is None else agree + t
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b",
+                (agree / F.lit(len(mcols))).alias("jaccard_est"))
     )
-    return est
 
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16,

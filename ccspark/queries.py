@@ -26,7 +26,7 @@ from ccspark.regexes import (
     RE_LINE_SPLIT, RE_PII_EMAIL, RE_PII_IP, RE_PII_PHONE, RE_PII_SSN,
 )
 from ccspark.sqlgen import (
-    DUCK, SPARK, lit, md5_i64, rlike, rrep, split_arr,
+    DUCK, SPARK, hex_to_bigint, lit, md5_i64, rlike, rrep, split_arr,
 )
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
@@ -405,60 +405,58 @@ FROM scored"""
 # ----- near-dup + similarity over documents/embeddings --------------------
 
 def q_minhash_pairs(d: str) -> str:
-    """MinHash-LSH near-dup candidates (ccspark.dedup.minhash_near_dups
-    semantics): 3-word shingles, 12 lexicographic-min md5 minhashes,
-    4 bands x 3 rows, candidates = shared band digest, output estimated
-    Jaccard."""
+    """MinHash-LSH near-dup candidates: 3-word shingles, ONE md5 per
+    shingle reduced to a 31-bit int, 12 affine min-hashes
+    h_i = (a_i*h + b_i) mod (2^31-1) computed as 12 aggregate COLUMNS in a
+    single groupBy(doc) (no seed explosion, one shuffle), 4 bands x 3
+    rows, candidates = shared band digest, estimated Jaccard = fraction of
+    agreeing minhashes.  31-bit values keep a_i*h inside int64 in both
+    engines (both raise on bigint overflow)."""
     words = split_arr(d, "text", " ")
     k = 3
-    nh, bands = 12, 4
-    rows_per_band = nh // bands
+    P = 2147483647
+    AB = [(1103515245 + 2 * i, 12345 + 7 * i) for i in range(12)]
     if d == SPARK:
         sh_arr = (f"transform(sequence(0, greatest(size({words}) - {k}, 0)), "
                   f"i -> concat_ws(' ', slice({words}, i + 1, {k})))")
         sh = (f"(SELECT doc_id, shingle FROM documents "
               f"LATERAL VIEW explode(array_distinct({sh_arr})) t AS shingle "
               f"WHERE length(shingle) > 0)")
-        seeded = (f"(SELECT doc_id, seed, shingle FROM {sh} s "
-                  f"LATERAL VIEW explode(sequence(0, {nh - 1})) t AS seed)")
-        digest_agg = ("md5(concat_ws(',', sort_array(collect_list(minhash))))")
     else:
         sh_arr = (f"list_distinct(list_transform("
                   f"range(1, greatest(len({words}) - {k} + 1, 1) + 1), "
                   f"i -> array_to_string({words}[i:i+{k - 1}], ' ')))")
-        sh = (f"(SELECT doc_id, unnest({sh_arr}) AS shingle FROM documents)")
-        seeded = (f"(SELECT doc_id, seed, shingle FROM {sh} s, "
-                  f"(SELECT unnest(range(0, {nh})) AS seed) t)")
-        digest_agg = ("md5(string_agg(minhash, ',' ORDER BY minhash))")
-    return f"""WITH sig AS (
-  SELECT doc_id, seed,
-         min(md5(concat(seed, ':', shingle))) AS minhash
-  FROM {seeded} q WHERE length(shingle) > 0
-  GROUP BY doc_id, seed
+        sh = (f"(SELECT doc_id, unnest({sh_arr}) AS shingle FROM documents "
+              f"WHERE len({sh_arr}) > 0)")
+    h32 = hex_to_bigint(d, "substr(md5(shingle), 1, 7)")
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {P}) AS m{i}"
+        for i, (a, b) in enumerate(AB))
+    digest = lambda lo: ("md5(concat(" + ", ".join(
+        f"m{j}, ','" for j in range(lo, lo + 3)) + "))")
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {bi} AS band, {digest(bi * 3)} AS digest FROM sig"
+        for bi in range(4))
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(12))
+    return f"""WITH hashed AS (
+  SELECT doc_id, {h32} AS h FROM {sh} q WHERE length(shingle) > 0
 ),
-banded AS (
-  SELECT doc_id, cast(floor(seed / {rows_per_band}.0) AS int) AS band, minhash
-  FROM sig
+sig AS (
+  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
 ),
 digests AS (
-  SELECT doc_id, band, {digest_agg} AS digest
-  FROM banded GROUP BY doc_id, band
+  {bands}
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM digests a JOIN digests b
     ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
-),
-est AS (
-  SELECT p.doc_a, p.doc_b,
-         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
-               * 1e0 / {nh}, 4) AS jaccard_est
-  FROM pairs p
-  JOIN sig sa ON sa.doc_id = p.doc_a
-  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.seed = sa.seed
-  GROUP BY p.doc_a, p.doc_b
 )
-SELECT * FROM est"""
+SELECT p.doc_a, p.doc_b, round(({agree}) * 1e0 / 12, 4) AS jaccard_est
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b"""
 
 
 def q_simhash(d: str) -> str:
@@ -596,6 +594,39 @@ SELECT doc_id, fingerprint, count(*) AS n_windows
 FROM windows GROUP BY doc_id, fingerprint"""
 
 
+def q_union_segments(d: str) -> str:
+    """U1 (pd.concat of per-segment frames, cc_corpus.py:377): union-all of
+    two crawl segments with per-segment provenance, then per-segment/tld
+    counts over the combined frame."""
+    return f"""WITH {geo_pages_cte(d)},
+seg_a AS (SELECT *, 'seg_a' AS segment FROM geo_pages WHERE doc_id % 2 = 0),
+seg_b AS (SELECT *, 'seg_b' AS segment FROM geo_pages WHERE doc_id % 2 = 1),
+unioned AS (SELECT * FROM seg_a UNION ALL SELECT * FROM seg_b)
+SELECT segment, tld, count(*) AS n_pages, count(DISTINCT domain) AS n_domains
+FROM unioned GROUP BY segment, tld"""
+
+
+def q_media_meta(d: str) -> str:
+    """Multimodal metadata over binary media columns: byte size + magic
+    sniff.  The html wrapper is synthesized identically in both engines
+    (pages' html column in parquet is byte-identical - pytest covers the
+    true-binary path; this oracle derives the bytes in-query since DuckDB
+    cannot substring blobs)."""
+    wrapped = "concat('<html><body>', text, '</body></html>')"
+    if d == SPARK:
+        size = f"octet_length(encode({wrapped}, 'UTF-8'))"
+        magic = f"upper(hex(encode(substring({wrapped}, 1, 4), 'UTF-8')))"
+    else:
+        size = f"octet_length(encode({wrapped}))"
+        magic = f"upper(hex(encode(substring({wrapped}, 1, 4))))"
+    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p)
+SELECT doc_id, {size} AS size_bytes, {magic} AS magic_hex,
+       CASE WHEN {magic} IN ('3C68746D', '3C21444F') THEN 'html'
+            WHEN {magic} = 'FFD8FFE0' THEN 'jpeg'
+            ELSE 'unknown' END AS media_type
+FROM pages"""
+
+
 # ----- general relational coverage (joins/aggs/windows the engine offers) --
 
 def q_tpch_pricing_summary(d: str) -> str:
@@ -682,6 +713,8 @@ QUERY_BUILDERS: dict[str, Callable[[str], str]] = {
     "ann_sign_lsh": q_ann_sign_lsh,
     "token_stats": q_token_stats,
     "doc_fingerprint": q_doc_fingerprint,
+    "union_segments": q_union_segments,
+    "media_meta": q_media_meta,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "top_customers_per_nation": q_top_customers_per_nation,
     "events_sessionization": q_events_sessionization,
@@ -699,3 +732,55 @@ def spark_query(name: str):
 
 def oracle_queries() -> dict[str, str]:
     return {name: fn(DUCK) for name, fn in QUERY_BUILDERS.items()}
+
+
+# ==========================================================================
+# Module-backed queries (applyInPandas / pandas-UDF / ML operators that are
+# not ANSI-SQL-expressible; the driver records a rows-only check for them).
+
+def _mq_greedy_domain_chunks(spark, sf_dir):
+    """A3 exact greedy semantics (ccspark.chunker; SQL twin:
+    domain_word_chunks)."""
+    from ccspark import chunker, pipeline
+    from ccspark.fixtures_sql import pages_spark
+    pages = pages_spark(spark, sf_dir)
+    geo = pipeline.with_geo(pages)
+    return chunker.domain_samples(geo, chunksize=500)
+
+
+def _mq_lid_ngram(spark, sf_dir):
+    """M1: trainable char-n-gram LID served via Iterator pandas UDF
+    (deterministic: seeded counts, pinned vocab order)."""
+    from ccspark import lid
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = lid.train(docs, n=3, top_k=1000)
+    return (lid.predict(spark, docs, model)
+            .select("doc_id", "lang", "lang_pred"))
+
+
+def _mq_ivf_ann(spark, sf_dir):
+    """IVF approximate nearest neighbors (seeded k-means quantizer)."""
+    from ccspark import similarity
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, cents = similarity.build_ivf(emb, n_lists=8)
+    q = emb.where(F.col("vec_id") < 3)
+    return similarity.ivf_knn(assigned, cents, q, k=5, nprobe=3)
+
+
+def _mq_dual_lid_agreement(spark, sf_dir):
+    """M2: dual trained models + expected-lang conjunction filter."""
+    from ccspark import lid
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m2 = lid.train(docs, n=2, top_k=600)
+    m3 = lid.train(docs, n=3, top_k=1000)
+    return (lid.agreement_filter(spark, docs, m2, m3, min_len=50)
+            .select("doc_id", "lang", "lid_a", "lid_b"))
+
+
+MODULE_QUERIES = {
+    "greedy_domain_chunks": _mq_greedy_domain_chunks,
+    "lid_ngram": _mq_lid_ngram,
+    "ivf_ann": _mq_ivf_ann,
+    "dual_lid_agreement": _mq_dual_lid_agreement,
+}
