@@ -57,16 +57,21 @@ def greedy_chunks_pdf(pdf, chunksize: int = 5000):
         samples, columns=["domain", "chunk_id", "n_words", "text"])
 
 
-def domain_samples(pages: DataFrame, chunksize: int = 5000) -> DataFrame:
+def domain_samples(pages: DataFrame, chunksize: int = 5000,
+                   max_rows_per_domain: int | None = None) -> DataFrame:
     """pages/corpus rows (domain, url, text) -> greedy word-chunk samples.
 
     One shuffle (groupBy domain).  Skewed mega-domains: a single domain's
-    group must fit one task - at production scale cap per-domain input
-    (W4 country/file caps) or pre-split giant domains by url prefix before
-    chunking; AQE skew handling does not apply inside applyInPandas."""
+    group must fit one task (AQE skew handling does not apply inside
+    applyInPandas) - pass *max_rows_per_domain* to apply the reference's
+    own mitigation (the per-key cap, geoWAC.py country_limit) before the
+    sequential accumulator."""
+    df = pages.select("domain", "url", "text")
+    if max_rows_per_domain is not None:
+        from ccspark.skew import cap_per_key
+        df = cap_per_key(df, "domain", max_rows_per_domain)
     return (
-        pages.select("domain", "url", "text")
-        .groupBy("domain")
+        df.groupBy("domain")
         .applyInPandas(
             lambda pdf: greedy_chunks_pdf(pdf, chunksize), CHUNK_SCHEMA)
     )

@@ -724,6 +724,10 @@ QUERY_BUILDERS: dict[str, Callable[[str], str]] = {
 def spark_query(name: str):
     """queries() entry: (spark, sf_dir) -> DataFrame."""
     def run(spark, sf_dir):
+        # the driver runs these with ITS session: pin the confs the
+        # templates assume (DuckDB's epoch() is UTC; timestamp arithmetic
+        # must agree)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         ensure_views(spark, sf_dir)
         return spark.sql(QUERY_BUILDERS[name](SPARK))
     run.__name__ = f"q_{name}"
