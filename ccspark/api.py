@@ -1,0 +1,151 @@
+"""User-facing facade mirroring the reference's public API surface.
+
+A user of ``common_crawl_corpus`` drives it through ``CC_Corpus``
+(cc_corpus.py:198) plus the free functions in WET_processor /
+deduplication / geoWAC / outlier_detection.  This class exposes the same
+capabilities 1:1, Spark-shaped (DataFrames in/out, lazy plans, no local
+directories):
+
+  reference entry point                     -> here
+  ------------------------------------------------------------------
+  CC_Corpus(countries_to_skip, url_filter)  -> ctor args
+  automatically_process_crawl / download_
+    and_process_wet_segment + _deduplicate  -> process_wet() / process_pages()
+  WET_processor.read_wet                    -> process_wet()
+  process_lid / lid_cc                      -> lid_pass()
+  final_cc                                  -> finalize()
+  deduplication.aggregate                   -> aggregate_samples()
+  deduplication.deduplicate (keep none)     -> dedup strategies on finalize()
+  geoWAC dual-LID agreement + country cap   -> lid_pass(agreement=...) /
+                                               finalize(country_limit=...)
+  outlier_detection.process_file            -> outlier_pass()
+  scan_url_filters (stub, cc_corpus.py:405) -> mine_url_filters()
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ccspark import (
+    chunker, dedup, lid as lid_mod, pipeline, quality, scrub as scrub_mod,
+    skew, sources,
+)
+
+
+class CCSparkCorpus:
+    def __init__(self, spark: SparkSession,
+                 countries_to_skip: tuple[str, ...] = (),
+                 url_filter: DataFrame | None = None):
+        self.spark = spark
+        self.countries_to_skip = tuple(countries_to_skip)
+        self.url_filter = url_filter
+
+    # ---- ingestion + quality-filter kernel (stage 3.1) ----
+
+    def process_wet(self, path_glob: str) -> DataFrame:
+        """WET segment files -> deduplicated corpus lines (the
+        automatically_process_crawl flow, cc_corpus.py:353-381)."""
+        pages = sources.read_wet(self.spark, path_glob)
+        return self.process_pages(pages.withColumn("lang", F.lit(None)
+                                                   .cast("string")))
+
+    def process_pages(self, pages: DataFrame) -> DataFrame:
+        """pages table -> geo gate -> clean/keep kernel -> line ordinal ->
+        keep-first dedup (corpus_lines schema)."""
+        df = pipeline.with_geo(pages, self.url_filter,
+                               self.countries_to_skip)
+        df = pipeline.explode_lines(df)
+        df = pipeline.clean_and_filter(df)
+        df = pipeline.number_and_hash(df)
+        df = df.select("domain", "tld", "country", "region", "url",
+                       "line_id", "text", "hash")
+        return pipeline.dedup_keep_first(df)
+
+    def metrics(self, pages: DataFrame) -> DataFrame:
+        """Per (region, country, lang) lineage metrics (north_rule)."""
+        return pipeline.cell_metrics(
+            pages if "lang" in pages.columns
+            else pages.withColumn("lang", F.lit("und")))
+
+    # ---- LID pass (stage 3.2) ----
+
+    def lid_pass(self, corpus_lines: DataFrame,
+                 model: "lid_mod.NgramLidModel",
+                 second_model: "lid_mod.NgramLidModel | None" = None,
+                 expected_col: str | None = None,
+                 min_len: int = 0) -> DataFrame:
+        """Reassemble pages (A1: newline-join in line order, word count -
+        cc_corpus.py:167-175), score LID page-at-a-time (M1); optionally
+        require dual-model agreement with an expected language (M2)."""
+        w = F.struct("line_id", "text")
+        pages = (corpus_lines
+                 .groupBy("url", "domain", "country", "region")
+                 .agg(F.concat_ws(
+                     "\n",
+                     F.transform(F.array_sort(F.collect_list(w)),
+                                 lambda s: s.text)).alias("text")))
+        pages = pages.withColumn(
+            "n_words", F.size(F.split("text", " ")))
+        out = lid_mod.predict(self.spark, pages, model,
+                              out_col="language", min_len=min_len)
+        if second_model is not None and expected_col is not None:
+            out = lid_mod.predict(self.spark, out, second_model,
+                                  out_col="language2", min_len=min_len)
+            out = out.where((F.col("language") == F.col(expected_col))
+                            & (F.col("language2") == F.col(expected_col)))
+        return out
+
+    # ---- finalization (stage 3.3) ----
+
+    def finalize(self, lid_pages: DataFrame, out_path: str | None = None,
+                 country_limit: int = 150,
+                 dedup_strategy: str = "keep_first") -> DataFrame:
+        """final_cc + geoWAC merge: per-country cap (W4, deterministic),
+        text dedup (keep_first = geoWAC.py:171; keep_none = :209), word
+        counts, optional 100k-sharded partitioned write."""
+        df = skew.cap_per_key(lid_pages, "country", country_limit, "url")
+        df = df.withColumn("_th", F.xxhash64("text"))
+        if dedup_strategy == "keep_none":
+            df = dedup.dedup_keep_none(df, "_th")
+        else:
+            df = dedup.dedup_keep_first(df, "_th", ("url",))
+        df = df.drop("_th").withColumn(
+            "n_words", F.size(F.split("text", " ")))
+        if out_path is not None:
+            pipeline.write_partitioned(df, out_path)
+        return df
+
+    # ---- sampling + outliers ----
+
+    def aggregate_samples(self, corpus_lines: DataFrame,
+                          chunksize: int = 5000,
+                          max_rows_per_domain: int | None = None
+                          ) -> DataFrame:
+        """deduplication.aggregate (A3): greedy ~chunksize-word samples
+        per domain."""
+        return chunker.domain_samples(corpus_lines, chunksize,
+                                      max_rows_per_domain)
+
+    def outlier_pass(self, docs: DataFrame,
+                     group_cols=("region", "country", "lang"),
+                     z_cut: float = 3.0,
+                     min_words: int = 5_000_000) -> DataFrame:
+        """outlier_detection.process_file (M3-M5)."""
+        return quality.remove_outliers(docs, group_cols,
+                                       z_cut=z_cut, min_words=min_words)
+
+    # ---- scrub + filter mining ----
+
+    def scrub(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        """F17 PII scrub."""
+        return scrub_mod.scrub(df, text_col)
+
+    def mine_url_filters(self, geo_pages: DataFrame,
+                         lang_threshold: int = 3) -> DataFrame:
+        """A6 (scan_url_filters, cc_corpus.py:405-411): domains spanning
+        more than *lang_threshold* languages are multinational
+        candidates -> rows shaped like url_filter.txt (S9)."""
+        return (geo_pages.groupBy("domain")
+                .agg(F.countDistinct("lang").alias("num_of_countries"),
+                     F.count("*").alias("num_of_pages"))
+                .where(F.col("num_of_countries") > lang_threshold))

@@ -198,6 +198,14 @@ def lang_iso3_dim(spark):
         os.path.join(DATA_DIR, "lang_iso2_iso3.csv"))
 
 
+def crawl_period_expr(d: str, col: str) -> str:
+    """X6 (cc_corpus.py:159-162): crawl period from a segment id/filename -
+    strip the 'CC-MAIN-' prefix, keep the first 7 chars ('2022-40').
+    Real event time comes from warc_ts; this labels outputs by crawl."""
+    stripped = rrep(d, col, "CC-MAIN-", "")
+    return f"substring({stripped}, 1, 7)"
+
+
 # DuckDB-side loader for the oracle SQL (reads the same CSVs).
 def duck_dim_sql(name: str) -> str:
     path = os.path.join(DATA_DIR, f"{name}.csv")

@@ -31,18 +31,28 @@ from ccspark.regexes import RE_LINE_SPLIT
 from ccspark.sqlgen import SPARK, lit as sql_lit
 
 
-def with_geo(pages: DataFrame) -> DataFrame:
+def with_geo(pages: DataFrame,
+             url_filter: DataFrame | None = None,
+             countries_to_skip: tuple[str, ...] = ()) -> DataFrame:
     """F2-F4: host/tld/domain extraction + geo gate + MNC anti-join.
     Adds (host, tld, domain, country, region); drops non-ccTLD pages and
-    multinational domains."""
+    multinational domains.
+
+    *url_filter*: custom MNC domain table (column ``domain``) replacing
+    the built-in list (CC_Corpus's url_filter ctor arg, cc_corpus.py:
+    210-213).  *countries_to_skip*: country names excluded outright
+    (cc_corpus.py:205-208)."""
     spark = pages.sparkSession
     host = geo.host_expr(SPARK, "url")
     df = pages.withColumn("host", F.expr(host))
     df = df.withColumn("tld", F.expr(geo.tld_expr(SPARK, "host")))
     df = df.withColumn("domain", F.expr(geo.domain_expr(SPARK, "host")))
     dim = geo.cctld_dim(spark)
+    if countries_to_skip:
+        dim = dim.where(~F.col("country").isin(*countries_to_skip))
     df = df.join(F.broadcast(dim), "tld", "inner")
-    mnc = geo.url_filter_dim(spark).select("domain")
+    mnc = (url_filter if url_filter is not None
+           else geo.url_filter_dim(spark)).select("domain")
     df = df.join(F.broadcast(mnc), "domain", "left_anti")
     return df
 

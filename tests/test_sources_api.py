@@ -1,0 +1,115 @@
+"""WET source parsing + the CCSparkCorpus facade end-to-end."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row, functions as F
+
+from ccspark import lid, sources
+from ccspark.api import CCSparkCorpus
+
+GOOD = "this line is long enough to pass every filter in the chain easily"
+GOOD2 = "another line that is long enough to pass every filter easily too"
+
+
+def write_wet_files(tmp_path):
+    recs_a = [
+        ("https://www.alpha.de/1", "2022-09-24T15:15:38Z",
+         f"{GOOD}\nshort\n{GOOD2}"),
+        ("https://www.hotel.de/x", "2022-09-24T15:15:39Z", GOOD),   # MNC
+        ("http://nocc.com/z", "2022-09-24T15:15:40Z", GOOD),        # no ccTLD
+    ]
+    recs_b = [
+        ("https://www.beta.co.nz/2", "2022-09-24T16:00:00Z",
+         f"{GOOD}\n{GOOD2} {GOOD}"),
+    ]
+    d = tmp_path / "wet"
+    os.makedirs(d, exist_ok=True)
+    (d / "seg-00000.warc.wet").write_bytes(sources.make_wet_bytes(recs_a))
+    (d / "seg-00001.warc.wet.gz").write_bytes(
+        sources.make_wet_bytes(recs_b, gzip_out=True))
+    return str(d)
+
+
+def test_parse_wet_bytes_roundtrip():
+    recs = [("https://a.de/1", "2022-01-01T00:00:00Z", "hello\nworld"),
+            ("https://b.fr/2", "2022-01-01T00:00:01Z", "text with\r\nCRLF")]
+    blob = sources.make_wet_bytes(recs)
+    got = list(sources.parse_wet_bytes(blob))
+    conv = [g for g in got if g[4] == "conversion"]
+    assert [(g[0], g[1], g[2]) for g in conv] == recs
+    assert got[0][4] == "warcinfo"       # non-conversion records visible
+    # gzip round trip
+    conv_gz = [g for g in
+               sources.parse_wet_bytes(sources.make_wet_bytes(
+                   recs, gzip_out=True)) if g[4] == "conversion"]
+    assert conv_gz == conv
+
+
+def test_read_wet_to_pages(spark, tmp_path):
+    d = write_wet_files(tmp_path)
+    pages = sources.read_wet(spark, d + "/*")
+    rows = {r.url: r for r in pages.collect()}
+    assert len(rows) == 4
+    assert rows["https://www.beta.co.nz/2"].text.startswith(GOOD)
+    assert all(r.rec_type == "conversion" for r in rows.values())
+
+
+def test_facade_process_wet_end_to_end(spark, tmp_path):
+    d = write_wet_files(tmp_path)
+    cc = CCSparkCorpus(spark)
+    out = cc.process_wet(d + "/*").collect()
+    urls = {r.url for r in out}
+    # MNC domain and non-ccTLD page dropped by the geo gate
+    assert urls == {"https://www.alpha.de/1", "https://www.beta.co.nz/2"}
+    # dedup keep-first: the shared GOOD line is kept on the first url
+    by_text = {}
+    for r in out:
+        by_text.setdefault(r.text, []).append(r.url)
+    for t, us in by_text.items():
+        assert len(us) == 1
+
+
+def test_facade_countries_to_skip(spark, tmp_path):
+    d = write_wet_files(tmp_path)
+    cc = CCSparkCorpus(spark, countries_to_skip=("Germany",))
+    urls = {r.url for r in cc.process_wet(d + "/*").collect()}
+    assert urls == {"https://www.beta.co.nz/2"}
+
+
+def test_facade_lid_and_finalize(spark):
+    pages = spark.createDataFrame([
+        Row(doc_id=i, url=f"https://www.s{i % 5}.de/p{i}",
+            text=f"{GOOD} number {i}\n{GOOD2} number {i}", lang="en")
+        for i in range(20)
+    ])
+    cc = CCSparkCorpus(spark)
+    corpus = cc.process_pages(pages)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = lid.train(docs, n=3, top_k=400)
+    lid_pages = cc.lid_pass(corpus, model)
+    assert lid_pages.count() == 20
+    assert "language" in lid_pages.columns and "n_words" in lid_pages.columns
+    # page reassembly kept line order
+    first = lid_pages.where(F.col("url") == "https://www.s0.de/p0").collect()[0]
+    assert first.text.split("\n")[0].startswith(GOOD.split()[0])
+
+    final = cc.finalize(lid_pages, country_limit=3)
+    assert final.count() == 3            # capped per country
+    final_all = cc.finalize(lid_pages, country_limit=100,
+                            dedup_strategy="keep_none")
+    assert final_all.count() == 20       # all texts unique -> all kept
+
+
+def test_facade_mine_url_filters(spark):
+    from ccspark import pipeline
+    pages = spark.createDataFrame(
+        [Row(doc_id=i, url=f"https://www.multi.de/p{i}", text=GOOD,
+             lang=l) for i, l in enumerate(["en", "de", "fr", "es", "zh"])]
+        + [Row(doc_id=99, url="https://www.mono.de/p", text=GOOD,
+               lang="en")])
+    cc = CCSparkCorpus(spark)
+    mined = cc.mine_url_filters(pipeline.with_geo(pages)).collect()
+    assert [r.domain for r in mined] == ["multi"]
+    assert mined[0].num_of_pages == 5
