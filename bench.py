@@ -36,12 +36,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name, thunk, warm: bool = False):
-        if warm:
+    def timed(name, thunk, warm: bool = True):
+        if warm:                       # steady-state: exclude JVM/codegen
+            thunk()                    # warmup from the reported number
+        best = float("inf")
+        for _ in range(2):             # min-of-2: long-lived local-mode
+            t0 = time.time()           # sessions show run-to-run GC noise
             thunk()
-        t0 = time.time()
-        thunk()
-        timings[name] = round(time.time() - t0, 3)
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # flagship: production pandas-UDF pipeline end-to-end (warm once to
     # exclude JVM/python-worker startup from the throughput number)
@@ -56,9 +59,12 @@ def main() -> None:
         "minhash_pairs",
         "simhash",
         "knn_cosine",
+        "ann_sign_lsh",
         "token_stats",
         "doc_fingerprint",
         "pii_scrub",
+        "media_meta",
+        "union_segments",
         "tpch_pricing_summary",
         "top_customers_per_nation",
         "events_sessionization",

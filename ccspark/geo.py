@@ -198,6 +198,14 @@ def lang_iso3_dim(spark):
         os.path.join(DATA_DIR, "lang_iso2_iso3.csv"))
 
 
+def write_url_filter_csv(df, path: str) -> None:
+    """S9 writer (utilities.py:247-256): persist a mined multinational-
+    domain filter as the space-delimited url_filter format."""
+    (df.selectExpr("concat_ws(' ', domain, num_of_countries, num_of_pages)"
+                   " AS line")
+       .coalesce(1).write.mode("overwrite").text(path))
+
+
 def crawl_period_expr(d: str, col: str) -> str:
     """X6 (cc_corpus.py:159-162): crawl period from a segment id/filename -
     strip the 'CC-MAIN-' prefix, keep the first 7 chars ('2022-40').
