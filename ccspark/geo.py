@@ -168,34 +168,45 @@ def domain_expr(d: str, host: str) -> str:
 
 
 # --------------------------------------------------------------------------
-# Dimension tables (Spark side)
+# Dimension tables (Spark side).  Read through importlib.resources so the
+# package works both from a checkout and from the spark-submit --py-files
+# zip (a csv inside a zip has no filesystem path for spark.read.csv); the
+# tables are tiny (<=971 rows), so a LocalRelation + broadcast join is the
+# right physical shape anyway.
+
+def _read_data_csv(name: str) -> list[list[str]]:
+    import csv as _csv
+    import importlib.resources as _res
+    import io as _io
+
+    text = _res.files("ccspark").joinpath(f"data/{name}.csv").read_text(
+        encoding="utf-8")
+    rows = list(_csv.reader(_io.StringIO(text)))
+    return rows[1:]        # drop header
+
 
 def cctld_dim(spark):
     """~295-row (tld, country, region) dimension -> broadcast inner join."""
-    return (
-        spark.read.option("header", True)
-        .csv(os.path.join(DATA_DIR, "cctld.csv"))
-    )
+    return spark.createDataFrame(
+        _read_data_csv("cctld"), "tld string, country string, region string")
 
 
 def url_filter_dim(spark):
     """Multinational-domain exclusion list -> broadcast anti join."""
-    return (
-        spark.read.option("header", True)
-        .csv(os.path.join(DATA_DIR, "url_filter.csv"))
-        .selectExpr("domain", "cast(num_of_countries as int) num_of_countries",
-                    "cast(num_of_pages as int) num_of_pages")
-    )
+    rows = [(d, int(a), int(b)) for d, a, b in _read_data_csv("url_filter")]
+    return spark.createDataFrame(
+        rows,
+        "domain string, num_of_countries int, num_of_pages int")
 
 
 def country_iso3_dim(spark):
-    return spark.read.option("header", True).csv(
-        os.path.join(DATA_DIR, "country_iso3.csv"))
+    return spark.createDataFrame(
+        _read_data_csv("country_iso3"), "country string, iso3 string")
 
 
 def lang_iso3_dim(spark):
-    return spark.read.option("header", True).csv(
-        os.path.join(DATA_DIR, "lang_iso2_iso3.csv"))
+    return spark.createDataFrame(
+        _read_data_csv("lang_iso2_iso3"), "iso2 string, iso3 string")
 
 
 def write_url_filter_csv(df, path: str) -> None:

@@ -627,6 +627,76 @@ SELECT doc_id, {size} AS size_bytes, {magic} AS magic_hex,
 FROM pages"""
 
 
+def q_metrics_rollup(d: str) -> str:
+    """A8: ROLLUP over the lineage metrics hierarchy (region -> country) -
+    subtotals + grand total in one pass (available free in both engines;
+    the reference walked directory trees for the same numbers)."""
+    return f"""WITH {verdict_lines_cte(d)}
+SELECT coalesce(region, '(all)') AS region,
+       coalesce(country, '(all)') AS country,
+       count(*) AS lines_seen,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS lines_kept
+FROM verdicts GROUP BY ROLLUP (region, country)"""
+
+
+def q_char_repetition(d: str) -> str:
+    """north_star's character-repetition quality rule: per document, the
+    longest run of the SAME consecutive token (gaps-and-islands over the
+    exploded token sequence) and the distinct-token ratio; flag docs whose
+    max run >= 4 or distinct ratio < 0.2 as repetition spam."""
+    words = split_arr(d, "text", " ")
+    if d == SPARK:
+        toks = (f"(SELECT doc_id, pos + 1 AS pos, w FROM documents "
+                f"LATERAL VIEW posexplode({words}) t AS pos, w)")
+    else:
+        toks = (f"(SELECT doc_id, generate_subscripts({words}, 1) AS pos, "
+                f"unnest({words}) AS w FROM documents)")
+    return f"""WITH toks AS (SELECT * FROM {toks} q WHERE length(w) > 0),
+flagged AS (
+  SELECT *, CASE WHEN w = lag(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                 THEN 0 ELSE 1 END AS brk
+  FROM toks
+),
+runs AS (
+  SELECT doc_id, w,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_id
+  FROM flagged
+),
+run_lens AS (
+  SELECT doc_id, run_id, count(*) AS run_len FROM runs
+  GROUP BY doc_id, run_id
+),
+per_doc AS (
+  SELECT r.doc_id, max(r.run_len) AS max_run
+  FROM run_lens r GROUP BY r.doc_id
+),
+ratios AS (
+  SELECT doc_id, count(DISTINCT w) * 1e0 / count(*) AS distinct_ratio
+  FROM toks GROUP BY doc_id
+)
+SELECT p.doc_id, p.max_run, round(r.distinct_ratio, 4) AS distinct_ratio,
+       CASE WHEN p.max_run >= 4 OR r.distinct_ratio < 0.2
+            THEN 1 ELSE 0 END AS repetition_flag
+FROM per_doc p JOIN ratios r ON p.doc_id = r.doc_id"""
+
+
+def q_doc_exact_dedup(d: str) -> str:
+    """D1 at document granularity over the raw documents table: exact
+    dedup on md5(text) keeping the lowest doc_id, with duplicate-family
+    sizes (the 'duplicate-line filter' generalized to whole docs)."""
+    return """WITH keyed AS (
+  SELECT doc_id, lang, md5(text) AS th FROM documents
+),
+fams AS (
+  SELECT *, count(*) OVER (PARTITION BY th) AS family_size,
+         row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id, lang, th, family_size FROM fams WHERE rn = 1"""
+
+
 # ----- general relational coverage (joins/aggs/windows the engine offers) --
 
 def q_tpch_pricing_summary(d: str) -> str:
@@ -714,6 +784,9 @@ QUERY_BUILDERS: dict[str, Callable[[str], str]] = {
     "token_stats": q_token_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "union_segments": q_union_segments,
+    "metrics_rollup": q_metrics_rollup,
+    "char_repetition": q_char_repetition,
+    "doc_exact_dedup": q_doc_exact_dedup,
     "media_meta": q_media_meta,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "top_customers_per_nation": q_top_customers_per_nation,
