@@ -112,7 +112,9 @@ class CCSparkCorpus:
         df = df.drop("_th").withColumn(
             "n_words", F.size(F.split("text", " ")))
         if out_path is not None:
-            pipeline.write_partitioned(df, out_path)
+            pcols = tuple(c for c in ("region", "country", "language")
+                          if c in df.columns)
+            pipeline.write_partitioned(df, out_path, partition_cols=pcols)
         return df
 
     # ---- sampling + outliers ----

@@ -144,8 +144,11 @@ def corpus_lines(pages: DataFrame) -> DataFrame:
     # project to the output columns BEFORE dedup: the keep-first aggregate
     # packs its payload into a struct, which would otherwise smuggle every
     # upstream column (html!) past Catalyst's column pruning
-    df = df.select(
-        "domain", "tld", "country", "region", "url", "line_id", "text", "hash")
+    cols = ["domain", "tld", "country", "region", "url",
+            "line_id", "text", "hash"]
+    if "lang" in df.columns:       # expected language travels with the line
+        cols.insert(4, "lang")     # (reference partitions output by it)
+    df = df.select(*cols)
     return dedup_keep_first(df)
 
 
@@ -166,12 +169,17 @@ def cell_metrics(pages: DataFrame) -> DataFrame:
 
 
 def write_partitioned(df: DataFrame, path: str,
-                      max_records_per_file: int = 100_000) -> None:
+                      max_records_per_file: int = 100_000,
+                      partition_cols: tuple[str, ...] | None = None) -> None:
     """S7/W3: partitioned corpus sink.  Identity-partition by
-    (region, country) with 100k-row shards (reference shard splitter,
-    cc_corpus.py:439-441) - on a real cluster this is an Iceberg
-    `writeTo(...).partitionedBy(...)`; parquet here."""
+    (region, country[, lang]) - the reference's region/country/language
+    directory tree (cc_corpus.py:181-184) - with 100k-row shards
+    (reference shard splitter, cc_corpus.py:439-441).  On a real cluster
+    this is an Iceberg `writeTo(...).partitionedBy(...)`; parquet here."""
+    if partition_cols is None:
+        partition_cols = tuple(
+            c for c in ("region", "country", "lang") if c in df.columns)
     (df.write.mode("overwrite")
        .option("maxRecordsPerFile", max_records_per_file)
-       .partitionBy("region", "country")
+       .partitionBy(*partition_cols)
        .parquet(path))

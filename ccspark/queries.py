@@ -106,7 +106,7 @@ numbered AS (
   FROM kept_lines
 ),
 corpus_lines AS (
-  SELECT domain, tld, country, region, url, line_id, text, line_md5
+  SELECT domain, tld, country, region, lang, url, line_id, text, line_md5
   FROM (SELECT *, row_number() OVER (PARTITION BY line_md5
                                      ORDER BY url, line_id) AS _rn
         FROM numbered) dd
