@@ -117,3 +117,19 @@ def test_partitioned_write_roundtrip(spark, tmp_path):
     assert any(d.startswith("region=") for d in os.listdir(path))
     countries = {r.country for r in back.select("country").collect()}
     assert countries == {"Germany", "France"}
+
+
+def test_partitioned_write_includes_lang_dirs(spark, tmp_path):
+    pages = make_pages(spark, [
+        ("https://www.a.de/1", GOOD),
+        ("https://www.b.fr/2", GOOD2),
+    ])
+    out = pipeline.corpus_lines(pages)
+    assert "lang" in out.columns
+    path = str(tmp_path / "corpus_lang")
+    pipeline.write_partitioned(out, path)
+    region_dirs = [d for d in os.listdir(path) if d.startswith("region=")]
+    assert region_dirs
+    country = os.path.join(path, region_dirs[0],
+                           os.listdir(os.path.join(path, region_dirs[0]))[0])
+    assert any(d.startswith("lang=") for d in os.listdir(country))
