@@ -73,6 +73,25 @@ def main() -> None:
         sql = Q.QUERY_BUILDERS[name](SPARK)
         timed(name, lambda s=sql: spark.sql(s).count())
 
+    # reference-comparable micro-op (Benchmark/Deduplicate.py semantics:
+    # hash the Text column + drop_duplicates; reference: 13.9s hashing +
+    # 22.4s dedup for <=250 segment frames single-node): hash+dedup rate
+    # over the corpus lines replicated 20x.
+    from pyspark.sql import functions as F
+    lines = pipeline.corpus_lines(pages)
+    big = (lines.crossJoin(spark.range(20).withColumnRenamed("id", "c"))
+           .withColumn("url", F.concat_ws("#", "url", "c")).drop("c")
+           .select("url", "line_id", "text").persist())
+    n_lines = big.count()
+
+    def hash_dedup():
+        return (big.withColumn("h", F.xxhash64("text"))
+                .groupBy("h")
+                .agg(F.min(F.struct("url", "line_id")).alias("w")).count())
+    timed("hash_dedup_micro", hash_dedup)
+    big.unpersist()
+    lines_per_sec = round(n_lines / max(timings["hash_dedup_micro"], 1e-9), 1)
+
     docs_per_sec = round(n_docs / max(timings["corpus_pipeline"], 1e-9), 1)
     out = {
         "metric": "corpus_pipeline_wall_sec",
@@ -82,6 +101,7 @@ def main() -> None:
         "sf": float(sf),
         "n_docs": n_docs,
         "docs_per_sec": docs_per_sec,
+        "hash_dedup_lines_per_sec": lines_per_sec,
         "cores": cpus,
     }
     print(json.dumps(out))

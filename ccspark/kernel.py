@@ -26,7 +26,7 @@ multinational filter - :246-248) runs before this chain; see ccspark.geo.
 from __future__ import annotations
 
 from ccspark import regexes as R
-from ccspark.sqlgen import DUCK, SPARK, count_char, rlike, rrep
+from ccspark.sqlgen import SPARK, count_char, rlike, rrep
 
 
 def cleaned_expr(d: str, raw: str) -> str:

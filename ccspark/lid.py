@@ -90,7 +90,6 @@ def make_predict_udf(spark, model: NgramLidModel, min_len: int = 0):
     """Iterator-of-Series pandas UDF: the broadcast model is resolved once
     per executor worker, then reused across every Arrow batch."""
     import pandas  # noqa: F401
-    from typing import Iterator
     from pyspark.sql.functions import pandas_udf
 
     bc = spark.sparkContext.broadcast(model)

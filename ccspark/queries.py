@@ -26,7 +26,7 @@ from ccspark.regexes import (
     RE_LINE_SPLIT, RE_PII_EMAIL, RE_PII_IP, RE_PII_PHONE, RE_PII_SSN,
 )
 from ccspark.sqlgen import (
-    DUCK, SPARK, hex_to_bigint, lit, md5_i64, rlike, rrep, split_arr,
+    DUCK, SPARK, hex_to_bigint, rrep, split_arr,
 )
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
@@ -550,6 +550,43 @@ ranked AS (
 SELECT query_id, neighbor_id, bucket, cosine, rk FROM ranked WHERE rk <= 3"""
 
 
+def q_embedding_near_dups(d: str) -> str:
+    """Embedding-cosine near-duplicate detection: candidate pairs from
+    sign-LSH buckets (8 fixed dimensions), kept when cosine >= 0.90 -
+    the semantic-dedup complement to MinHash (which sees only surface
+    n-grams).  Bucketing keeps the self-join near-linear at scale.
+    Threshold 0.30 here: the driver's synthetic embeddings are near-
+    orthogonal (max within-bucket cosine ~0.45), so a production-style
+    0.9 cut would make the check vacuous; the plan is identical."""
+    idx = lambda e, i: (f"element_at({e}, {i})" if d == SPARK else f"{e}[{i}]")
+    def bucket(e):
+        return ("concat(" + ", ".join(
+            f"CASE WHEN {idx(e, i)} >= 0 THEN '1' ELSE '0' END"
+            for i in (1, 9, 17, 25, 33, 41, 49, 57)) + ")")
+    if d == SPARK:
+        dot = ("aggregate(zip_with(a.embedding, b.embedding, "
+               "(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
+        na = ("sqrt(aggregate(transform(a.embedding, x -> x * x), "
+              "cast(0.0 as double), (acc, v) -> acc + v))")
+        nb = ("sqrt(aggregate(transform(b.embedding, x -> x * x), "
+              "cast(0.0 as double), (acc, v) -> acc + v))")
+        cos = f"round({dot} / ({na} * {nb}), 4)"
+    else:
+        cos = "round(list_cosine_similarity(a.embedding, b.embedding), 4)"
+    return f"""WITH bucketed AS (
+  SELECT vec_id, label, embedding, {bucket('embedding')} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.label AS label_a, b.label AS label_b, {cos} AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label_a, label_b, cosine
+FROM pairs WHERE cosine >= 0.30"""
+
+
 def q_token_stats(d: str) -> str:
     """Token counting: whitespace tokens vs BPE-ish subword pieces
     (letter-runs, digit-runs, single punctuation marks)."""
@@ -781,6 +818,7 @@ QUERY_BUILDERS: dict[str, Callable[[str], str]] = {
     "simhash": q_simhash,
     "knn_cosine": q_knn_cosine,
     "ann_sign_lsh": q_ann_sign_lsh,
+    "embedding_near_dups": q_embedding_near_dups,
     "token_stats": q_token_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "union_segments": q_union_segments,

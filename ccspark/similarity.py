@@ -60,7 +60,7 @@ def build_ivf(table: DataFrame, n_lists: int = 8,
     """Train the coarse quantizer and assign every vector to a list.
     Returns (assigned_table_with_list_id, centroids_df)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     ml = table.withColumn("_features", array_to_vector(F.col(vec_col)))
     km = KMeans(k=n_lists, seed=seed, featuresCol="_features",
