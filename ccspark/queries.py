@@ -736,6 +736,41 @@ SELECT doc_id, lang, th, family_size FROM fams WHERE rn = 1"""
 
 # ----- general relational coverage (joins/aggs/windows the engine offers) --
 
+def q_customers_without_orders(d: str) -> str:
+    """Anti-join shape (J5 family): customers who never placed an URGENT
+    order, by market segment (plain no-orders-at-all is vacuous on this
+    data - every customer has orders)."""
+    return """SELECT c.c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment"""
+
+
+def q_suppliers_of_large_parts(d: str) -> str:
+    """Semi-join shape: suppliers in nations that have customers with
+    account balance above 9000 (EXISTS over a correlated subquery)."""
+    return """SELECT n.n_name, count(*) AS n_suppliers,
+       round(sum(s.s_acctbal), 2) AS total_bal
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 9000)
+GROUP BY n.n_name"""
+
+
+def q_monthly_order_stats(d: str) -> str:
+    """Date bucketing + conditional aggregation over orders."""
+    ym = ("date_format(o_orderdate, 'yyyy-MM')" if d == SPARK
+          else "strftime(o_orderdate, '%Y-%m')")
+    return f"""SELECT {ym} AS order_month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS month_total,
+       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+         AS n_urgent
+FROM orders GROUP BY {ym}"""
+
+
 def q_tpch_pricing_summary(d: str) -> str:
     """TPC-H Q1 shape over lineitem: grouped aggregates w/ arithmetic."""
     return """SELECT l_returnflag, l_linestatus,
@@ -827,6 +862,9 @@ QUERY_BUILDERS: dict[str, Callable[[str], str]] = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "media_meta": q_media_meta,
     "tpch_pricing_summary": q_tpch_pricing_summary,
+    "customers_without_orders": q_customers_without_orders,
+    "suppliers_of_large_parts": q_suppliers_of_large_parts,
+    "monthly_order_stats": q_monthly_order_stats,
     "top_customers_per_nation": q_top_customers_per_nation,
     "events_sessionization": q_events_sessionization,
 }
