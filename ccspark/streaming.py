@@ -55,6 +55,61 @@ def stream_corpus_build(spark: SparkSession, in_dir: str, out_dir: str,
     return q
 
 
+def stateful_user_totals(spark: SparkSession, in_dir: str, out_dir: str,
+                         checkpoint_dir: str,
+                         max_files_per_trigger: int = 1):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running totals that survive across micro-batches (the
+    checkpointed state store is the cross-batch memory).  One output row
+    per (user, micro-batch) showing the running count/value - so the
+    sink records the state trajectory, which the test asserts against
+    batch ground truth.  maxFilesPerTrigger=1 forces multiple
+    micro-batches even under Trigger.AvailableNow."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType)
+
+    static = spark.read.parquet(in_dir)
+    events = (spark.readStream.schema(static.schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(in_dir))
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("events_so_far", LongType()),
+        StructField("value_so_far", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("v", DoubleType()),
+    ])
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "events_so_far": [n],
+                            "value_so_far": [round(v, 2)]})
+
+    totals = (events.select("user_id", "value")
+              .groupBy("user_id")
+              .applyInPandasWithState(
+                  update, out_schema, state_schema, "append",
+                  GroupStateTimeout.NoTimeout))
+    q = (totals.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
 def windowed_event_counts(spark: SparkSession, events: DataFrame,
                           window: str = "10 minutes",
                           watermark: str = "30 minutes") -> DataFrame:

@@ -128,3 +128,31 @@ def test_windowed_event_counts_batch_mode(spark):
     assert total == events.count()
     for r in out:
         assert (r.window_end - r.window_start).total_seconds() == 600
+
+
+def test_stateful_user_totals_across_microbatches(spark, tmp_path):
+    events = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+              .select("user_id", "value", "ts").limit(600))
+    in_dir = str(tmp_path / "ev_in")
+    events.repartition(3).write.parquet(in_dir)     # 3 files -> 3 batches
+
+    out_dir = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    streaming.stateful_user_totals(spark, in_dir, out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+
+    # every user emits once per micro-batch it appears in; the MAX row is
+    # the final state and must equal batch ground truth
+    final = (got.groupBy("user_id")
+             .agg(F.max("events_so_far").alias("n"),
+                  F.max("value_so_far").alias("v")))
+    truth = (spark.read.parquet(in_dir).groupBy("user_id")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.sum("value"), 2).alias("v")))
+    f = {r.user_id: (r.n, r.v) for r in final.collect()}
+    t = {r.user_id: (r.n, r.v) for r in truth.collect()}
+    assert f == t
+    # state genuinely accumulated across batches: some user emitted
+    # more than one snapshot with increasing counts
+    multi = (got.groupBy("user_id").count().where(F.col("count") > 1))
+    assert multi.count() > 0
