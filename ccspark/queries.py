@@ -489,15 +489,17 @@ def q_knn_cosine(d: str) -> str:
     """Brute-force cosine top-5 neighbors for query vectors (vec_id < 3):
     the exact-ANN baseline over the embeddings table."""
     if d == SPARK:
-        dot = ("aggregate(zip_with(a.embedding, b.embedding, "
+        dot = ("aggregate(zip_with(cast(a.embedding as array<double>), "
+               "cast(b.embedding as array<double>), "
                "(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
-        na = ("sqrt(aggregate(transform(a.embedding, x -> x * x), "
-              "cast(0.0 as double), (acc, v) -> acc + v))")
-        nb = ("sqrt(aggregate(transform(b.embedding, x -> x * x), "
-              "cast(0.0 as double), (acc, v) -> acc + v))")
+        na = ("sqrt(aggregate(transform(cast(a.embedding as array<double>), "
+              "x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))")
+        nb = ("sqrt(aggregate(transform(cast(b.embedding as array<double>), "
+              "x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))")
         cos = f"round({dot} / ({na} * {nb}), 4)"
     else:
-        cos = ("round(list_cosine_similarity(a.embedding, b.embedding), 4)")
+        cos = ("round(list_cosine_similarity(a.embedding::DOUBLE[], "
+               "b.embedding::DOUBLE[]), 4)")
     return f"""WITH pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          b.label AS neighbor_label, {cos} AS cosine
@@ -523,15 +525,17 @@ def q_ann_sign_lsh(d: str) -> str:
             f"CASE WHEN {idx(e, i)} >= 0 THEN '1' ELSE '0' END"
             for i in (1, 9, 17, 25, 33, 41, 49, 57)) + ")")
     if d == SPARK:
-        dot = ("aggregate(zip_with(a.embedding, b.embedding, "
+        dot = ("aggregate(zip_with(cast(a.embedding as array<double>), "
+               "cast(b.embedding as array<double>), "
                "(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
-        na = ("sqrt(aggregate(transform(a.embedding, x -> x * x), "
-              "cast(0.0 as double), (acc, v) -> acc + v))")
-        nb = ("sqrt(aggregate(transform(b.embedding, x -> x * x), "
-              "cast(0.0 as double), (acc, v) -> acc + v))")
+        na = ("sqrt(aggregate(transform(cast(a.embedding as array<double>), "
+              "x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))")
+        nb = ("sqrt(aggregate(transform(cast(b.embedding as array<double>), "
+              "x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))")
         cos = f"round({dot} / ({na} * {nb}), 4)"
     else:
-        cos = "round(list_cosine_similarity(a.embedding, b.embedding), 4)"
+        cos = ("round(list_cosine_similarity(a.embedding::DOUBLE[], "
+               "b.embedding::DOUBLE[]), 4)")
     return f"""WITH bucketed AS (
   SELECT vec_id, label, embedding, {bucket('embedding')} AS bucket
   FROM embeddings
@@ -564,15 +568,17 @@ def q_embedding_near_dups(d: str) -> str:
             f"CASE WHEN {idx(e, i)} >= 0 THEN '1' ELSE '0' END"
             for i in (1, 9, 17, 25, 33, 41, 49, 57)) + ")")
     if d == SPARK:
-        dot = ("aggregate(zip_with(a.embedding, b.embedding, "
+        dot = ("aggregate(zip_with(cast(a.embedding as array<double>), "
+               "cast(b.embedding as array<double>), "
                "(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
-        na = ("sqrt(aggregate(transform(a.embedding, x -> x * x), "
-              "cast(0.0 as double), (acc, v) -> acc + v))")
-        nb = ("sqrt(aggregate(transform(b.embedding, x -> x * x), "
-              "cast(0.0 as double), (acc, v) -> acc + v))")
+        na = ("sqrt(aggregate(transform(cast(a.embedding as array<double>), "
+              "x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))")
+        nb = ("sqrt(aggregate(transform(cast(b.embedding as array<double>), "
+              "x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))")
         cos = f"round({dot} / ({na} * {nb}), 4)"
     else:
-        cos = "round(list_cosine_similarity(a.embedding, b.embedding), 4)"
+        cos = ("round(list_cosine_similarity(a.embedding::DOUBLE[], "
+               "b.embedding::DOUBLE[]), 4)")
     return f"""WITH bucketed AS (
   SELECT vec_id, label, embedding, {bucket('embedding')} AS bucket
   FROM embeddings

@@ -16,7 +16,11 @@ import sys
 sys.path.insert(0, ".")
 
 
-def canon(rows, cols):
+def canon(rows, cols, strict=True):
+    """strict=True: exact values (floats compared bitwise - queries are
+    required to produce identical doubles in both engines, e.g. via
+    round(x,4) on double-typed math).  strict=False re-rounds to 4
+    decimals, used only to diagnose whether a mismatch is float-noise."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for row in rows:
@@ -28,12 +32,14 @@ def canon(rows, cols):
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
-                else:
+                elif not strict:
                     v = round(v, 4)
                     v = 0.0 if v == 0 else v
+                elif v == 0:
+                    v = 0.0
             if v is None:
                 v = "\x00NULL"
-            vals.append(str(v))
+            vals.append(repr(v) if isinstance(v, float) else str(v))
         out.append("\x01".join(vals))
     out.sort()
     return out
@@ -92,6 +98,13 @@ def main() -> None:
             continue
         cs, cd = canon(srows, scols), canon(drows, dcols)
         if cs != cd:
+            if canon(srows, scols, strict=False) == \
+                    canon(drows, dcols, strict=False):
+                print(f"{name}: FLOAT-ULP MISMATCH (values equal after "
+                      f"re-rounding - fix the query to produce identical "
+                      f"doubles)")
+                n_bad += 1
+                continue
             diff = next(
                 (i for i, (a, b) in enumerate(zip(cs, cd)) if a != b), -1)
             print(f"{name}: MISMATCH values rows={len(srows)} "
