@@ -146,8 +146,8 @@ def q_cell_metrics(d: str) -> str:
     return f"""WITH {verdict_lines_cte(d)}
 SELECT region, country, lang,
        count(*) AS lines_seen,
-       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS lines_kept,
-       sum(CASE WHEN keep THEN 0 ELSE 1 END) AS lines_dropped,
+       cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS bigint) AS lines_kept,
+       cast(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS bigint) AS lines_dropped,
        count(DISTINCT url) AS docs_seen
 FROM verdicts GROUP BY region, country, lang"""
 
@@ -190,7 +190,8 @@ def q_page_reassembly(d: str) -> str:
     return f"""WITH {corpus_lines_cte(d)}
 SELECT url, country, region,
        {joined} AS page_text,
-       sum(length(text) - length(replace(text, ' ', '')) + 1) AS n_words
+       cast(sum(length(text) - length(replace(text, ' ', '')) + 1)
+            AS bigint) AS n_words
 FROM corpus_lines
 GROUP BY url, country, region"""
 
@@ -211,7 +212,7 @@ runs AS (
   FROM corpus_lines
 )
 SELECT domain, cast(floor((cum_words - 1) / 500) AS bigint) AS chunk_id,
-       count(*) AS n_lines, sum(n_words) AS chunk_words,
+       count(*) AS n_lines, cast(sum(n_words) AS bigint) AS chunk_words,
        min(url) AS first_url
 FROM runs GROUP BY domain, cast(floor((cum_words - 1) / 500) AS bigint)"""
 
@@ -678,7 +679,7 @@ def q_metrics_rollup(d: str) -> str:
 SELECT coalesce(region, '(all)') AS region,
        coalesce(country, '(all)') AS country,
        count(*) AS lines_seen,
-       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS lines_kept
+       cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS bigint) AS lines_kept
 FROM verdicts GROUP BY ROLLUP (region, country)"""
 
 
@@ -772,8 +773,8 @@ def q_monthly_order_stats(d: str) -> str:
     return f"""SELECT {ym} AS order_month,
        count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS month_total,
-       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
-         AS n_urgent
+       cast(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS bigint) AS n_urgent
 FROM orders GROUP BY {ym}"""
 
 
@@ -825,10 +826,10 @@ flagged AS (
   FROM ev
 ),
 sessions AS (
-  SELECT *, sum(new_session) OVER (PARTITION BY user_id
-                                   ORDER BY ets, event_type
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND
-                                   CURRENT ROW) AS session_id
+  SELECT *, cast(sum(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ets, event_type
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND
+                                        CURRENT ROW) AS bigint) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -45,6 +45,45 @@ def canon(rows, cols, strict=True):
     return out
 
 
+def norm_type(t: str) -> str:
+    """Normalize a Spark dtype / DuckDB type string into a cross-engine
+    family so typed-value hashing divergence is caught locally.
+
+    Int widths (tinyint..bigint) collapse to 'int' (both engines hash
+    them as Python ints), but HUGEINT and DECIMAL stay distinct: DuckDB
+    sum(INTEGER) returns HUGEINT which pandas converts to float64, so the
+    driver's value hash diverges even when the Python values look equal
+    (round-1 root cause for 6 hash_match:false rows).  FLOAT also stays
+    distinct from DOUBLE (float32 rounding diverges bitwise)."""
+    t = t.strip().lower()
+    if t.endswith("[]"):                       # duckdb list type
+        return f"array<{norm_type(t[:-2])}>"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{norm_type(t[6:-1])}>"
+    if t.startswith("decimal"):
+        return "decimal"
+    return {
+        "tinyint": "int", "smallint": "int", "int": "int",
+        "integer": "int", "bigint": "int", "ubigint": "int",
+        "uinteger": "int", "usmallint": "int", "utinyint": "int",
+        "hugeint": "hugeint", "uhugeint": "hugeint",
+        "float": "float", "real": "float", "double": "double",
+        "varchar": "string", "string": "string", "text": "string",
+        "blob": "binary", "binary": "binary",
+        "boolean": "boolean", "bool": "boolean",
+        "date": "date", "timestamp": "timestamp",
+        "timestamp with time zone": "timestamp",
+    }.get(t, t)
+
+
+def type_mismatches(scols, stypes, dcols, dtypes):
+    """Per-column (sorted by name) normalized-type diffs: [(col, s, d)]."""
+    smap = {c: norm_type(t) for c, t in zip(scols, stypes)}
+    dmap = {c: norm_type(str(t)) for c, t in zip(dcols, dtypes)}
+    return [(c, smap[c], dmap[c]) for c in sorted(smap)
+            if c in dmap and smap[c] != dmap[c]]
+
+
 def main() -> None:
     import duckdb
 
@@ -70,6 +109,7 @@ def main() -> None:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = [t for _, t in sdf.dtypes]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"{name}: ERROR spark: {str(e)[:300]}")
@@ -81,6 +121,7 @@ def main() -> None:
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
+            dtypes = rel.types
             drows = rel.fetchall()
         except Exception as e:
             print(f"{name}: ERROR duckdb: {str(e)[:300]}")
@@ -89,6 +130,13 @@ def main() -> None:
         if sorted(scols) != sorted(dcols):
             print(f"{name}: MISMATCH schema spark={sorted(scols)} "
                   f"duck={sorted(dcols)}")
+            n_bad += 1
+            continue
+        tdiff = type_mismatches(scols, stypes, dcols, dtypes)
+        if tdiff:
+            print(f"{name}: MISMATCH types {tdiff} "
+                  f"(driver hashes typed values - HUGEINT/DECIMAL/FLOAT "
+                  f"on the DuckDB side diverge even when values agree)")
             n_bad += 1
             continue
         if len(srows) != len(drows):
