@@ -9,10 +9,13 @@ resume after failure.
 The unit of work is a *bucket*: ``xxhash64(url) % n_buckets`` (the scale
 analogue of a WET segment - at 10^12 docs you'd use the crawl's natural
 segment/file partitioning).  Each bucket batch is processed by the full
-corpus pipeline and written to its own partition directory with
-overwrite semantics, THEN its lineage row is appended - so a crash
-between data write and lineage commit leaves only an orphan directory
-that the resumed run overwrites.  On Iceberg this maps to one
+corpus pipeline; its data AND metrics are each written to their own
+bucket=<i> partition directory with overwrite semantics, THEN its
+lineage row is appended (the commit point) - so a crash anywhere before
+the lineage commit leaves only orphan directories that the resumed run
+overwrites (metrics used to be a plain append, which double-counted a
+bucket when the crash landed between the metrics append and the lineage
+commit).  On Iceberg this maps to one
 snapshot-producing ``overwritePartitions()`` per batch with the lineage
 table as a second table in the same catalog; parquet directories emulate
 it here.
@@ -20,7 +23,7 @@ it here.
 Layout under <root>/:
     data/bucket=<i>/...parquet     corpus_lines output per bucket
     lineage/...parquet             (bucket, status, n_rows, run_id)
-    metrics/...parquet             (bucket, region, country, lang,
+    metrics/bucket=<i>/...parquet  (region, country, lang,
                                     lines_seen/kept/dropped, docs_seen)
 """
 
@@ -51,10 +54,18 @@ def completed_buckets(spark: SparkSession, root: str) -> set[int]:
 
 def build_resumable(spark: SparkSession, pages: DataFrame, root: str,
                     n_buckets: int = 8, run_id: str = "run",
-                    fail_after: int | None = None) -> None:
-    """Process all not-yet-done buckets; each bucket is atomic-ish
-    (data overwrite, then lineage append).  *fail_after* injects a crash
-    after that many buckets - used by the resume tests."""
+                    fail_after: int | None = None,
+                    fail_before_lineage: int | None = None) -> None:
+    """Process all not-yet-done buckets.  Every per-bucket artifact (data
+    AND metrics) is written with overwrite semantics into its own
+    bucket=<i> directory; the lineage append is the commit point.  A crash
+    anywhere before the lineage append (including between the metrics
+    write and the lineage write) leaves only orphan directories that the
+    resumed run overwrites - no double counting in read_metrics.
+
+    *fail_after* injects a crash after N fully-committed buckets;
+    *fail_before_lineage* injects one in the formerly-unsafe window
+    (data + metrics written, lineage not) - both used by resume tests."""
     done = completed_buckets(spark, root)
     todo = [b for b in range(n_buckets) if b not in done]
     staged = pages.withColumn("_bucket", _bucket_col(n_buckets))
@@ -66,9 +77,14 @@ def build_resumable(spark: SparkSession, pages: DataFrame, root: str,
         out.write.mode("overwrite").parquet(data_path)
         n_rows = spark.read.parquet(data_path).count()
 
-        metrics = (pipeline.cell_metrics(part)
-                   .withColumn("bucket", F.lit(b)))
-        metrics.write.mode("append").parquet(os.path.join(root, "metrics"))
+        metrics = pipeline.cell_metrics(part)
+        metrics.write.mode("overwrite").parquet(
+            os.path.join(root, "metrics", f"bucket={b}"))
+
+        if fail_before_lineage is not None and \
+                n_processed + 1 >= fail_before_lineage:
+            raise RuntimeError(
+                f"injected failure before lineage commit of bucket {b}")
 
         lineage = spark.createDataFrame(
             [(b, "done", n_rows, run_id)], LINEAGE_SCHEMA)

@@ -30,6 +30,15 @@ from pyspark.sql import DataFrame
 
 CHUNK_SCHEMA = ("domain string, chunk_id int, n_words int, text string")
 
+# reference default (deduplication.py:19 chunksize=5000); the sf0.01
+# oracle query uses queries.CHUNK_WORDS_SF through the same template
+DEFAULT_CHUNK_WORDS = 5000
+# a 100-TB crawl always contains a mega-domain; one domain = one task in
+# the sequential accumulator, so cap its rows by default (the reference's
+# own mitigation shape: geoWAC.py:149-152 country_limit).  100k rows ~
+# tens of MB of text per task - comfortably within executor memory.
+DEFAULT_MAX_ROWS_PER_DOMAIN = 100_000
+
 
 def greedy_chunks_pdf(pdf, chunksize: int = 5000):
     """Pandas transcription of the per-domain greedy accumulator."""
@@ -57,15 +66,16 @@ def greedy_chunks_pdf(pdf, chunksize: int = 5000):
         samples, columns=["domain", "chunk_id", "n_words", "text"])
 
 
-def domain_samples(pages: DataFrame, chunksize: int = 5000,
-                   max_rows_per_domain: int | None = None) -> DataFrame:
+def domain_samples(pages: DataFrame, chunksize: int = DEFAULT_CHUNK_WORDS,
+                   max_rows_per_domain: int | None =
+                   DEFAULT_MAX_ROWS_PER_DOMAIN) -> DataFrame:
     """pages/corpus rows (domain, url, text) -> greedy word-chunk samples.
 
     One shuffle (groupBy domain).  Skewed mega-domains: a single domain's
     group must fit one task (AQE skew handling does not apply inside
-    applyInPandas) - pass *max_rows_per_domain* to apply the reference's
-    own mitigation (the per-key cap, geoWAC.py country_limit) before the
-    sequential accumulator."""
+    applyInPandas), so the deterministic per-key cap (the reference's own
+    mitigation shape, geoWAC.py country_limit) is ON by default at
+    DEFAULT_MAX_ROWS_PER_DOMAIN; pass None to disable."""
     df = pages.select("domain", "url", "text")
     if max_rows_per_domain is not None:
         from ccspark.skew import cap_per_key

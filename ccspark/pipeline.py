@@ -154,7 +154,12 @@ def corpus_lines(pages: DataFrame) -> DataFrame:
 
 def cell_metrics(pages: DataFrame) -> DataFrame:
     """A5/north_rule metrics: per (region, country, lang) cell - lines seen,
-    kept, dropped, with seen = kept + dropped by construction."""
+    kept, dropped, with seen = kept + dropped by construction.  Pages
+    without a lang column (e.g. raw sources.read_wet output) fall back to
+    'und' so direct callers (checkpoint.build_resumable) don't need the
+    api facade's guard."""
+    if "lang" not in pages.columns:
+        pages = pages.withColumn("lang", F.lit("und"))
     df = explode_lines(with_geo(pages))
     df = verdict_lines(df)
     return (

@@ -196,13 +196,22 @@ FROM corpus_lines
 GROUP BY url, country, region"""
 
 
-def q_domain_word_chunks(d: str) -> str:
-    """A3 (SQL-oracle variant of the 5000-word domain sample accumulator,
+# chunk size used by the sf-scale oracle twins (the production default is
+# chunker.DEFAULT_CHUNK_WORDS = 5000 - the reference's chunksize; 500 keeps
+# multiple chunks per domain at sf0.01 so the bucketing logic is exercised)
+CHUNK_WORDS_SF = 500
+
+
+def q_domain_word_chunks(d: str, chunk_words: int = CHUNK_WORDS_SF) -> str:
+    """A3 (SQL-oracle variant of the domain sample accumulator,
     deduplication.py:19-85): running word count per domain in url/line
-    order, bucketed every 5000 words.  (The greedy reset-on-overflow
-    original is applyInPandas - ccspark.chunker - and is pytest-verified;
-    this fixed-boundary variant is its scalable SQL twin.)"""
+    order, bucketed every *chunk_words* words.  (The greedy
+    reset-on-overflow original is applyInPandas - ccspark.chunker - and is
+    pytest-verified plus aggregate-invariant-oracled via
+    greedy_domain_totals; this fixed-boundary variant is its scalable SQL
+    twin.)"""
     words = "(length(text) - length(replace(text, ' ', '')) + 1)"
+    bucket = f"cast(floor((cum_words - 1) / {chunk_words}) AS bigint)"
     return f"""WITH {corpus_lines_cte(d)},
 runs AS (
   SELECT domain, url, line_id, text, {words} AS n_words,
@@ -211,10 +220,36 @@ runs AS (
            AS cum_words
   FROM corpus_lines
 )
-SELECT domain, cast(floor((cum_words - 1) / 500) AS bigint) AS chunk_id,
+SELECT domain, {bucket} AS chunk_id,
        count(*) AS n_lines, cast(sum(n_words) AS bigint) AS chunk_words,
        min(url) AS first_url
-FROM runs GROUP BY domain, cast(floor((cum_words - 1) / 500) AS bigint)"""
+FROM runs GROUP BY domain, {bucket}"""
+
+
+def q_greedy_domain_totals(d: str) -> str:
+    """Aggregate-invariant oracle for the greedy chunker (ccspark.chunker):
+    whatever the chunk boundaries, per-domain sum(n_words) over the emitted
+    samples must equal the total whitespace-token count of the domain's
+    raw lines (text split on newline, CRs stripped - the accumulator's own
+    counting, deduplication.py:45-48), and domains with zero words emit
+    nothing.  The Spark side of this pair runs the real applyInPandas
+    chunker (_mq_greedy_domain_totals); this SQL computes the invariant
+    independently."""
+    if d == SPARK:
+        lines = ("SELECT domain, raw_line FROM geo_pages "
+                 "LATERAL VIEW explode(split(text, '\\n')) t AS raw_line")
+        wc = ("size(filter(split(replace(raw_line, chr(13), ''), '\\\\s+'),"
+              " x -> x != ''))")
+    else:
+        lines = ("SELECT domain, unnest(string_split(text, chr(10))) "
+                 "AS raw_line FROM geo_pages")
+        wc = (r"len(list_filter(string_split_regex("
+              r"replace(raw_line, chr(13), ''), '\s+'), x -> x != ''))")
+    return f"""WITH {geo_pages_cte(d)},
+raw_lines AS ({lines}),
+counted AS (SELECT domain, {wc} AS n_words FROM raw_lines)
+SELECT domain, cast(sum(n_words) AS bigint) AS total_words
+FROM counted GROUP BY domain HAVING sum(n_words) > 0"""
 
 
 def q_pii_scrub(d: str) -> str:
@@ -891,7 +926,9 @@ def spark_query(name: str):
 
 
 def oracle_queries() -> dict[str, str]:
-    return {name: fn(DUCK) for name, fn in QUERY_BUILDERS.items()}
+    out = {name: fn(DUCK) for name, fn in QUERY_BUILDERS.items()}
+    out.update(MODULE_ORACLES)
+    return out
 
 
 # ==========================================================================
@@ -906,6 +943,54 @@ def _mq_greedy_domain_chunks(spark, sf_dir):
     pages = pages_spark(spark, sf_dir)
     geo = pipeline.with_geo(pages)
     return chunker.domain_samples(geo, chunksize=500)
+
+
+def _mq_greedy_domain_totals(spark, sf_dir):
+    """Aggregate-invariant check for the greedy chunker: runs the REAL
+    applyInPandas accumulator, then aggregates per-domain word totals -
+    hash-compared against q_greedy_domain_totals(DUCK), which recomputes
+    the totals independently in SQL."""
+    from pyspark.sql import functions as F
+
+    from ccspark import chunker, pipeline
+    from ccspark.fixtures_sql import pages_spark
+    pages = pages_spark(spark, sf_dir)
+    geo = pipeline.with_geo(pages)
+    chunks = chunker.domain_samples(geo, chunksize=CHUNK_WORDS_SF)
+    return (chunks.groupBy("domain")
+            .agg(F.sum("n_words").cast("bigint").alias("total_words")))
+
+
+def _mq_ivf_recall(spark, sf_dir):
+    """Assertion query: query vectors where IVF at nprobe = n_lists (full
+    probe) diverges from the exact brute-force kNN - expected EMPTY (the
+    oracle is a typed empty relation, so any machinery bug - vectors lost
+    at list boundaries, wrong rerank, unstable tie-breaks - fails the
+    row-count compare).  Full probe MUST equal exact by construction; the
+    driver embeddings are near-uniform noise (same-label neighbor
+    fraction 0.13), so a partial-probe recall bar would measure the data,
+    not the operator - the nprobe<n_lists recall >= 0.9 bar lives in
+    pytest on genuinely clustered vectors (tests/test_similarity.py)."""
+    from pyspark.sql import functions as F
+
+    from ccspark import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, cents = similarity.build_ivf(emb, n_lists=8)
+    q = emb.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_knn(emb, q, k=5)
+    approx = similarity.ivf_knn(assigned, cents, q, k=5, nprobe=8)
+    hits = (exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+    recall = (exact.select("query_id").distinct()
+              .join(hits, "query_id", "left")
+              .select("query_id",
+                      (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0))
+                      .alias("recall")))
+    return recall.where(F.col("recall") < 1.0)
+
+
+_IVF_RECALL_ORACLE = ("SELECT cast(NULL AS bigint) AS query_id, "
+                      "cast(NULL AS double) AS recall WHERE false")
 
 
 def _mq_lid_ngram(spark, sf_dir):
@@ -940,7 +1025,17 @@ def _mq_dual_lid_agreement(spark, sf_dir):
 
 MODULE_QUERIES = {
     "greedy_domain_chunks": _mq_greedy_domain_chunks,
+    "greedy_domain_totals": _mq_greedy_domain_totals,
     "lid_ngram": _mq_lid_ngram,
     "ivf_ann": _mq_ivf_ann,
+    "ivf_recall": _mq_ivf_recall,
     "dual_lid_agreement": _mq_dual_lid_agreement,
+}
+
+# Module-backed Spark queries that still have a DuckDB oracle: the Spark
+# side runs real pandas-UDF/ML operators, the oracle recomputes an
+# invariant of their output in SQL (driver hash-compares as usual).
+MODULE_ORACLES = {
+    "greedy_domain_totals": q_greedy_domain_totals(DUCK),
+    "ivf_recall": _IVF_RECALL_ORACLE,
 }

@@ -53,5 +53,10 @@ def blocklist_filter(df: DataFrame, blocklist: DataFrame,
     terms = [r[0] for r in blocklist.collect()]
     if not terms:
         return df
-    pat = "(?i)(^|[^a-z])(" + "|".join(terms) + ")([^a-z]|$)"
+    # terms are data, not patterns: quote each with \Q...\E so regex
+    # metacharacters ('.', '+', '(') can't change match semantics or
+    # blow up pattern compilation; a literal \E inside a term is split
+    # out of the quoted region and re-quoted.
+    quoted = [r"\Q" + t.replace(r"\E", r"\E\\E\Q") + r"\E" for t in terms]
+    pat = "(?i)(^|[^a-z])(" + "|".join(quoted) + ")([^a-z]|$)"
     return df.where(~F.col(text_col).rlike(pat))

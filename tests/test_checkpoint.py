@@ -64,6 +64,31 @@ def test_rerun_of_complete_build_is_noop(spark, tmp_path):
     assert collect_corpus(spark, root) == before
 
 
+def test_crash_before_lineage_commit_does_not_double_count(spark, tmp_path):
+    """The formerly-unsafe window: data + metrics written, lineage not.
+    The resumed run must overwrite the orphan bucket's metrics, not append
+    a second copy of them."""
+    pages = make_pages(spark)
+    clean_root = str(tmp_path / "clean")
+    crash_root = str(tmp_path / "crash")
+    checkpoint.build_resumable(spark, pages, clean_root, n_buckets=4)
+
+    with pytest.raises(RuntimeError, match="before lineage"):
+        checkpoint.build_resumable(spark, pages, crash_root, n_buckets=4,
+                                   fail_before_lineage=2)
+    assert len(checkpoint.completed_buckets(spark, crash_root)) == 1
+
+    checkpoint.build_resumable(spark, pages, crash_root, n_buckets=4,
+                               run_id="resume")
+    want = sorted(map(tuple, checkpoint.read_metrics(spark, clean_root)
+                      .collect()))
+    got = sorted(map(tuple, checkpoint.read_metrics(spark, crash_root)
+                     .collect()))
+    assert got == want
+    assert collect_corpus(spark, crash_root) == \
+        collect_corpus(spark, clean_root)
+
+
 def test_metrics_invariant_across_buckets(spark, tmp_path):
     pages = make_pages(spark)
     root = str(tmp_path / "m")

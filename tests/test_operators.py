@@ -195,3 +195,17 @@ def test_blocklist_filter(spark):
     bl = spark.createDataFrame([Row(term="badword")])
     kept = {r.doc_id for r in scrub.blocklist_filter(df, bl).collect()}
     assert kept == {0, 2}
+
+
+def test_blocklist_terms_are_literals_not_patterns(spark):
+    """Regex metacharacters in a term must match literally (and must not
+    crash pattern compilation)."""
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="mentions c++ language here"),
+        Row(doc_id=1, text="says cxx instead"),          # '.'/'+' as regex
+        Row(doc_id=2, text="contains evil(term) yes"),   # would not compile
+        Row(doc_id=3, text="evilterm without parens"),
+    ])
+    bl = spark.createDataFrame([Row(term="c++"), Row(term="evil(term)")])
+    kept = {r.doc_id for r in scrub.blocklist_filter(df, bl).collect()}
+    assert kept == {1, 3}

@@ -47,6 +47,32 @@ def test_ivf_knn_recall(spark):
     assert {(r.query_id, r.neighbor_id) for r in full} == exact_set
 
 
+def test_ivf_partial_probe_recall_on_clustered_vectors(spark):
+    """The scale-path claim: on data with real cluster structure, probing
+    2 of 10 lists keeps recall@5 >= 0.9 while scanning ~20% of the table.
+    (The driver's fixture embeddings are near-uniform noise - same-label
+    neighbor fraction 0.13 - so this bar needs clustered vectors; the
+    driver-gated ivf_recall query asserts full-probe == exact instead.)"""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 16)) * 5.0
+    rows = []
+    for i in range(400):
+        c = i % 10
+        v = centers[c] + rng.normal(size=16) * 0.3
+        rows.append((i, [float(x) for x in v], c))
+    e = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int")
+    q = e.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_knn(e, q, k=5).collect()
+    assigned, cents = similarity.build_ivf(e, n_lists=10)
+    approx = similarity.ivf_knn(assigned, cents, q, k=5, nprobe=2).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.9, recall
+
+
 # ---------------- multimodal ----------------
 
 def test_media_meta_sniffs_types(spark):
