@@ -8,14 +8,22 @@ Reference behavior being re-expressed:
     both agree with the expected language, and lines of <= 150 chars are
     'ukn' (geoWAC.py:19-41, applied :62-67).
 
-Neither lidNet/fastText nor CLD2/3 is installable here, so the model is a
-self-trained character-n-gram multinomial Naive Bayes - the same model
-family fastText's supervised mode reduces to for LID - trained with
-DataFrame aggregations (distributed counting), collected into a compact
-top-K table, and scored inside an ``Iterator[pd.Series]`` pandas UDF so
-the model deserializes ONCE per executor python worker, not once per
-batch (the fastText-on-Spark serving pattern; swap `train`/`predict`
-internals for fasttext.load_model + model.predict on a real cluster).
+Neither lidNet/fastText nor CLD2/3 is installable here, so the default
+model is a self-trained character-n-gram multinomial Naive Bayes - the
+same model family fastText's supervised mode reduces to for LID - trained
+with DataFrame aggregations (distributed counting), collected into a
+compact top-K table, and scored inside an ``Iterator[pd.Series]`` pandas
+UDF so the model deserializes ONCE per executor python worker, not once
+per batch (the fastText-on-Spark serving pattern).
+
+Swapping in the real model is a config string, not a code change:
+``load_model("fasttext:/path/lid.176.bin")`` returns a FastTextLidModel
+with the same predict interface, served by the same UDF
+(tests/test_lid.py exercises the seam with a fake fasttext module).
+Verification: the NB scorer is hash-verified against DuckDB as the
+driver-gated ``lid_ngram_sql`` query, the UDF path is asserted equal to
+that SQL rendering, and a held-out accuracy floor runs on genuinely
+multilingual synthetic docs (tests/test_lid.py).
 """
 
 from __future__ import annotations
@@ -86,7 +94,63 @@ def train(docs: DataFrame, n: int = 3, text_col: str = "text",
     return NgramLidModel(n, priors, loglik, vocab, alpha_denom)
 
 
-def make_predict_udf(spark, model: NgramLidModel, min_len: int = 0):
+class FastTextLidModel:
+    """The real-cluster seam (reference: cc_corpus.py:147-148,176 loads
+    lidNet once per worker; geoWAC.py:19-41 CLD2/3): wraps a fastText
+    supervised LID model (e.g. lid.176.bin) behind the SAME
+    ``predict(text, min_len) -> lang`` interface as NgramLidModel, so
+    ``predict``/``agreement_filter`` and the Iterator-UDF serving path
+    need zero changes to swap models.
+
+    Pickles only the model path (``__getstate__``): the broadcast ships
+    the path, and each executor python worker lazy-loads the binary model
+    ONCE on first batch - the standard fastText-on-Spark pattern (the
+    .bin is mmap-able; ship it with ``--files`` or bake it into the
+    image on a real cluster)."""
+
+    def __init__(self, path: str, label_prefix: str = "__label__"):
+        self.path = path
+        self.label_prefix = label_prefix
+        self._m = None
+
+    def _model(self):
+        if self._m is None:
+            import fasttext   # not installed in this sandbox; executors
+            self._m = fasttext.load_model(self.path)
+        return self._m
+
+    def predict(self, text: str, min_len: int = 0) -> str:
+        if text is None or len(text) <= min_len:
+            return "ukn"
+        labels, _ = self._model().predict(text.replace("\n", " "))
+        if not labels:
+            return "ukn"
+        lab = labels[0]
+        return lab[len(self.label_prefix):] \
+            if lab.startswith(self.label_prefix) else lab
+
+    def __getstate__(self):
+        return {"path": self.path, "label_prefix": self.label_prefix}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._m = None
+
+
+def load_model(spec: str, docs: DataFrame | None = None, **kw):
+    """Config seam: ``'fasttext:/path/to/lid.176.bin'`` -> FastTextLidModel;
+    ``'ngram'`` -> self-trained NgramLidModel (requires *docs*).  Pipelines
+    select the model by config string and never branch on model type."""
+    if spec.startswith("fasttext:"):
+        return FastTextLidModel(spec.split(":", 1)[1], **kw)
+    if spec == "ngram":
+        if docs is None:
+            raise ValueError("ngram model needs training docs")
+        return train(docs, **kw)
+    raise ValueError(f"unknown LID model spec: {spec!r}")
+
+
+def make_predict_udf(spark, model, min_len: int = 0):
     """Iterator-of-Series pandas UDF: the broadcast model is resolved once
     per executor worker, then reused across every Arrow batch."""
     import pandas  # noqa: F401
@@ -105,15 +169,15 @@ def make_predict_udf(spark, model: NgramLidModel, min_len: int = 0):
     return pandas_udf(predict_iter, "string")
 
 
-def predict(spark, docs: DataFrame, model: NgramLidModel,
+def predict(spark, docs: DataFrame, model,
             text_col: str = "text", out_col: str = "lang_pred",
             min_len: int = 0) -> DataFrame:
     return docs.withColumn(out_col,
                            make_predict_udf(spark, model, min_len)(text_col))
 
 
-def agreement_filter(spark, docs: DataFrame, model_a: NgramLidModel,
-                     model_b: NgramLidModel, expected_col: str = "lang",
+def agreement_filter(spark, docs: DataFrame, model_a,
+                     model_b, expected_col: str = "lang",
                      text_col: str = "text",
                      min_len: int = 150) -> DataFrame:
     """M2 (geoWAC.py:62-67): keep rows where BOTH detectors agree with the

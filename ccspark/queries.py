@@ -252,6 +252,80 @@ SELECT domain, cast(sum(n_words) AS bigint) AS total_words
 FROM counted GROUP BY domain HAVING sum(n_words) > 0"""
 
 
+def q_lid_ngram_sql(d: str, n: int = 3, top_k: int = 1000) -> str:
+    """M1 as pure SQL: the char-n-gram multinomial-NB LID scorer
+    (ccspark.lid train+predict semantics - cc_corpus.py:147-148,176) as
+    one dual-dialect template, so the NB math (top-k vocab by global
+    count, Laplace smoothing, per-occurrence log-lik sums, unseen-gram
+    alpha, prior, deterministic argmax) is hash-verified cross-engine.
+    The production Iterator-pandas-UDF path (MODULE_QUERIES lid_ngram) is
+    asserted equal to this rendering in tests/test_lid.py.  Trains and
+    scores on the full documents table, mirroring _mq_lid_ngram."""
+    m = n - 1
+    if d == SPARK:
+        pos = ("LATERAL VIEW explode(sequence(1, greatest(length(t) - "
+               f"{m}, 1))) ix AS i")
+        grams = f"""grams AS (
+  SELECT doc_id, lang, substring(t, i, {n}) AS gram FROM docs {pos})"""
+    else:
+        grams = f"""grams AS (
+  SELECT doc_id, lang,
+         substring(t, unnest(generate_series(1, greatest(length(t) - {m},
+                                                          1))), {n}) AS gram
+  FROM docs)"""
+    return f"""WITH docs AS (
+  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents
+),
+{grams},
+valid AS (SELECT * FROM grams WHERE length(gram) = {n}),
+counts AS (SELECT lang, gram, count(*) AS c FROM valid GROUP BY lang, gram),
+vocab AS (SELECT gram, sum(c) AS nn FROM counts GROUP BY gram
+          ORDER BY nn DESC, gram LIMIT {top_k}),
+vc AS (SELECT c.lang, c.gram, c.c FROM counts c JOIN vocab v
+       ON c.gram = v.gram),
+lang_totals AS (SELECT lang, sum(c) AS tot FROM vc GROUP BY lang),
+vsize AS (SELECT count(*) AS v FROM vocab),
+loglik AS (
+  SELECT vc.lang, vc.gram, ln((vc.c + 1) * 1e0 / (lt.tot + vs.v + 1)) AS lp
+  FROM vc JOIN lang_totals lt ON vc.lang = lt.lang CROSS JOIN vsize vs
+),
+alpha AS (
+  SELECT lt.lang, ln(1e0 / (lt.tot + vs.v + 1)) AS lp0
+  FROM lang_totals lt CROSS JOIN vsize vs
+),
+ndocs AS (SELECT count(*) AS n FROM docs),
+priors AS (
+  SELECT lang, ln(count(*) * 1e0 / max(nd.n)) AS lprior
+  FROM docs CROSS JOIN ndocs nd GROUP BY lang
+),
+doc_grams AS (
+  SELECT g.doc_id, g.gram FROM valid g JOIN vocab v ON g.gram = v.gram
+),
+scored AS (
+  SELECT dg.doc_id, a.lang, sum(coalesce(ll.lp, a.lp0)) AS gsum
+  FROM doc_grams dg
+  CROSS JOIN alpha a
+  LEFT JOIN loglik ll ON ll.lang = a.lang AND ll.gram = dg.gram
+  GROUP BY dg.doc_id, a.lang
+),
+totals AS (
+  SELECT s.doc_id, s.lang, s.gsum + p.lprior AS score
+  FROM scored s JOIN priors p ON p.lang = s.lang
+),
+ranked AS (
+  SELECT doc_id, lang AS pred,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rk
+  FROM totals
+),
+prior_best AS (
+  SELECT lang AS fallback FROM priors ORDER BY lprior DESC, lang LIMIT 1
+)
+SELECT d.doc_id, d.lang, coalesce(r.pred, pb.fallback) AS lang_pred
+FROM docs d CROSS JOIN prior_best pb
+LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rk = 1"""
+
+
 def q_pii_scrub(d: str) -> str:
     """F17 (north_rule extension): regex PII scrub over raw page lines -
     emails, phones, IPs, SSNs -> typed placeholders, with per-page
@@ -889,6 +963,7 @@ QUERY_BUILDERS: dict[str, Callable[[str], str]] = {
     "country_cap": q_country_cap,
     "shard_assign": q_shard_assign,
     "langid_agreement": q_langid_agreement,
+    "lid_ngram_sql": q_lid_ngram_sql,
     "quality_signals": q_quality_signals,
     "perplexity_outliers": q_perplexity_outliers,
     "minhash_pairs": q_minhash_pairs,
