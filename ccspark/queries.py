@@ -326,6 +326,34 @@ FROM docs d CROSS JOIN prior_best pb
 LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rk = 1"""
 
 
+def q_str_hash_bitcompat(d: str) -> str:
+    """X7 bit-compat gate: Spark computes the reference's str_hash
+    (first-8-LE-bytes-of-SHA-1 as uint64, deduplication.py:88-94) over
+    documents; the oracle side is PRECOMPUTED with hashlib+numpy - the
+    reference's literal implementation - because DuckDB has no sha1().
+    A green hash_match therefore proves byte-for-byte equality with hash
+    files the reference would produce, so users can join existing
+    reference hashes against ours."""
+    if d == SPARK:
+        from ccspark.dedup import str_hash_expr
+        return (f"SELECT doc_id, {str_hash_expr('text')} AS hash_u64 "
+                f"FROM documents WHERE doc_id < 64")
+    import hashlib
+
+    import duckdb
+    import numpy as np
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet') "
+        "WHERE doc_id < 64 ORDER BY doc_id").fetchall()
+    vals = ", ".join(
+        "({}, '{}')".format(
+            i, np.frombuffer(hashlib.sha1(t.encode("utf-8")).digest()[:8],
+                             "<u8").item(0))
+        for i, t in rows)
+    return (f"SELECT * FROM (VALUES {vals}) AS t(doc_id, hash_u64)")
+
+
 def q_pii_scrub(d: str) -> str:
     """F17 (north_rule extension): regex PII scrub over raw page lines -
     emails, phones, IPs, SSNs -> typed placeholders, with per-page
@@ -597,7 +625,15 @@ SELECT doc_id, cast({fp} AS bigint) AS simhash FROM votes"""
 
 def q_knn_cosine(d: str) -> str:
     """Brute-force cosine top-5 neighbors for query vectors (vec_id < 3):
-    the exact-ANN baseline over the embeddings table."""
+    the exact-ANN baseline over the embeddings table.
+
+    Scale guard: the query set is pre-filtered into its own relation and
+    explicitly BROADCAST, so the plan is one streaming scan of the table
+    against a Q-row broadcast - O(Q*N) compute, zero shuffle of the big
+    side, driver memory bounded by Q.  This is the labeled exact baseline
+    for SMALL query sets only; large query sets route through the IVF
+    (similarity.ivf_knn / ivf_recall) or sign-LSH (q_ann_sign_lsh) scale
+    paths instead of raising Q here."""
     if d == SPARK:
         dot = ("aggregate(zip_with(cast(a.embedding as array<double>), "
                "cast(b.embedding as array<double>), "
@@ -610,11 +646,14 @@ def q_knn_cosine(d: str) -> str:
     else:
         cos = ("round(list_cosine_similarity(a.embedding::DOUBLE[], "
                "b.embedding::DOUBLE[]), 4)")
-    return f"""WITH pairs AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    hint = "/*+ BROADCAST(a) */ " if d == SPARK else ""
+    return f"""WITH q AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3
+),
+pairs AS (
+  SELECT {hint}a.vec_id AS query_id, b.vec_id AS neighbor_id,
          b.label AS neighbor_label, {cos} AS cosine
-  FROM embeddings a JOIN embeddings b ON a.vec_id < 3
-   AND b.vec_id <> a.vec_id
+  FROM q a JOIN embeddings b ON b.vec_id <> a.vec_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -964,6 +1003,7 @@ QUERY_BUILDERS: dict[str, Callable[[str], str]] = {
     "shard_assign": q_shard_assign,
     "langid_agreement": q_langid_agreement,
     "lid_ngram_sql": q_lid_ngram_sql,
+    "str_hash_bitcompat": q_str_hash_bitcompat,
     "quality_signals": q_quality_signals,
     "perplexity_outliers": q_perplexity_outliers,
     "minhash_pairs": q_minhash_pairs,
