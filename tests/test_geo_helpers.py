@@ -16,6 +16,53 @@ def test_crawl_period_expr_both_dialects(spark, duck):
     assert got_s == got_d == "2022-40"
 
 
+# tldextract's outputs on these hosts (hand-verified against the PSL
+# algorithm + publicsuffix.org rules vendored in psl_snapshot.dat):
+# exceptions beat wildcards, longest rule wins, wildcard extends the
+# suffix by one label.
+PSL_CASES = {
+    "www.example.co.uk": "example",
+    "foo.gov.uk": "foo",                             # gov.uk exact rule
+    "sub.council.aberdeenshire.sch.uk": "council",   # *.sch.uk wildcard
+    "www.ck": "www",                                 # !www.ck exception
+    "foo.www.ck": "www",
+    "shop.foo.ck": "shop",                           # *.ck wildcard
+    "x.example.bd": "x",                             # *.bd wildcard
+    "city.kawasaki.jp": "city",                      # !city.kawasaki.jp
+    "a.city.kawasaki.jp": "city",
+    "b.co.kawasaki.jp": "b",                         # *.kawasaki.jp
+    "www.city.kyoto.jp": "city",                     # kyoto.jp prefecture
+    "www.example.act.edu.au": "example",             # 3-label exact rule
+    "school.k12.ny.us": "school",
+    "www.example.com": "example",
+    "example.de": "example",
+    "trademe.co.nz": "trademe",
+    "localhost": "localhost",
+    "deep.sub.example.org": "example",
+}
+
+
+def test_psl_registrable_domain_python_twin():
+    for host, want in PSL_CASES.items():
+        assert geo.registrable_domain(host) == want, host
+
+
+def test_psl_domain_expr_matches_twin_both_dialects(spark, duck):
+    hosts = sorted(PSL_CASES)
+    vals = ", ".join(f"('{h}')" for h in hosts)
+    q_d = (f"SELECT host, {geo.domain_expr(DUCK, 'host')} AS dom "
+           f"FROM (VALUES {vals}) t(host)")
+    got_d = dict(duck.sql(q_d).fetchall())
+    sdf = spark.createDataFrame([(h,) for h in hosts], "host string")
+    sdf.createOrReplaceTempView("psl_hosts")
+    q_s = (f"SELECT host, {geo.domain_expr(SPARK, 'host')} AS dom "
+           f"FROM psl_hosts")
+    got_s = dict(spark.sql(q_s).collect())
+    for h in hosts:
+        assert got_d[h] == PSL_CASES[h], ("duck", h, got_d[h])
+        assert got_s[h] == PSL_CASES[h], ("spark", h, got_s[h])
+
+
 def test_write_url_filter_csv_roundtrip(spark, tmp_path):
     from pyspark.sql import Row
     from ccspark import geo
