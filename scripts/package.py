@@ -17,7 +17,7 @@ def main() -> None:
             if "__pycache__" in dirpath:
                 continue
             for f in files:
-                if f.endswith((".py", ".csv")):
+                if f.endswith((".py", ".csv", ".dat")):
                     full = os.path.join(dirpath, f)
                     zf.write(full, os.path.relpath(full, ROOT))
     print(out)
