@@ -326,6 +326,60 @@ FROM docs d CROSS JOIN prior_best pb
 LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rk = 1"""
 
 
+def q_word_ngrams(d: str, n: int = 2, top: int = 10) -> str:
+    """X4 (utilities.py defines an n-grams helper the reference never
+    calls; here it is a first-class operator): top word-bigrams per lang
+    over documents - explode positional n-grams, count, rank.  Single
+    shuffle on (lang, gram); the rank window rides the same partitioning."""
+    if d == SPARK:
+        w = "split(text, ' ')"
+        grams = (f"transform(sequence(1, greatest(size({w}) - {n - 1}, 1)),"
+                 f" i -> concat_ws(' ', slice({w}, i, {n})))")
+        ex = (f"SELECT lang, gram FROM documents "
+              f"LATERAL VIEW explode({grams}) t AS gram")
+    else:
+        w = "string_split(text, ' ')"
+        grams = (f"list_transform(generate_series(1, greatest(len({w}) - "
+                 f"{n - 1}, 1)), i -> array_to_string({w}[i:i+{n - 1}], ' '))")
+        ex = f"SELECT lang, unnest({grams}) AS gram FROM documents"
+    return f"""WITH grams AS ({ex}),
+valid AS (
+  SELECT lang, gram FROM grams
+  WHERE length(gram) - length(replace(gram, ' ', '')) = {n - 1}
+),
+counted AS (SELECT lang, gram, count(*) AS n_occ FROM valid
+            GROUP BY lang, gram),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY n_occ DESC, gram) AS rk
+  FROM counted
+)
+SELECT lang, gram, n_occ, rk FROM ranked WHERE rk <= {top}"""
+
+
+def q_repeat_buyers(d: str) -> str:
+    """U2/W5 coverage: INTERSECT/EXCEPT set ops + max-aggregate.
+    Customers who ordered in BOTH 1995 and 1996 (INTERSECT) but never at
+    top order priority (EXCEPT), with their max single-order value."""
+    return """WITH both_years AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= date '1995-01-01' AND o_orderdate < date '1996-01-01'
+  INTERSECT
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= date '1996-01-01' AND o_orderdate < date '1997-01-01'
+),
+eligible AS (
+  SELECT o_custkey FROM both_years
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT e.o_custkey AS custkey,
+       max(o.o_totalprice) AS max_order,
+       count(*) AS n_orders
+FROM eligible e JOIN orders o ON o.o_custkey = e.o_custkey
+GROUP BY e.o_custkey"""
+
+
 def q_str_hash_bitcompat(d: str) -> str:
     """X7 bit-compat gate: Spark computes the reference's str_hash
     (first-8-LE-bytes-of-SHA-1 as uint64, deduplication.py:88-94) over
@@ -1004,6 +1058,8 @@ QUERY_BUILDERS: dict[str, Callable[[str], str]] = {
     "langid_agreement": q_langid_agreement,
     "lid_ngram_sql": q_lid_ngram_sql,
     "str_hash_bitcompat": q_str_hash_bitcompat,
+    "word_ngrams": q_word_ngrams,
+    "repeat_buyers": q_repeat_buyers,
     "quality_signals": q_quality_signals,
     "perplexity_outliers": q_perplexity_outliers,
     "minhash_pairs": q_minhash_pairs,
