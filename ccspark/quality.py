@@ -89,3 +89,116 @@ def remove_outliers(docs: DataFrame, group_cols=CELL,
     keep_ids = marked.where(F.col("prediction").isin("IN", "ORIGINAL")) \
                      .select(id_col)
     return docs.join(keep_ids, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# Document-level quality rules (Gopher / C4 style; quality_filter tier).
+#
+# The reference filters at LINE level only (the kernel chain); a web-scale
+# training-data pipeline also gates whole documents.  These are the
+# published Gopher rules (Rae et al. 2021, table A1) + the C4/Gopher
+# repetition signals, computed as ONE Catalyst projection per document -
+# array higher-order functions over split(), no explode, no shuffle, no
+# UDF - so the filter runs at scan speed and composes with any plan.
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+GOPHER_THRESHOLDS = dict(
+    min_words=50, max_words=100_000,
+    min_mean_word_len=3.0, max_mean_word_len=10.0,
+    max_symbol_word_ratio=0.1,
+    max_bullet_frac=0.9, max_ellipsis_frac=0.3,
+    min_alpha_word_frac=0.8, min_stopword_hits=2,
+    max_dup_line_frac=0.3, max_dup_line_char_frac=0.2,
+)
+
+
+def gopher_signal_exprs(d: str, text: str = "text") -> dict:
+    """Dual-dialect SQL fragments for every Gopher/C4 signal over a text
+    column.  Shared by the oracled query template (queries.q_gopher_quality)
+    and the DataFrame operator below, so Spark and DuckDB cannot drift."""
+    from ccspark.sqlgen import (
+        SPARK, arr_distinct, arr_filter, arr_sum_lengths, rlike, split_arr,
+    )
+    words = arr_filter(d, f"{split_arr(d, text, ' ')}", "x <> ''")
+    # split on the literal newline char (chr(10)); lines keep their text
+    lines = f"split({text}, chr(10))" if d == SPARK else \
+        f"string_split({text}, chr(10))"
+    n_words = (f"size({words})" if d == SPARK else f"len({words})")
+    n_lines = (f"size({lines})" if d == SPARK else f"len({lines})")
+    dl = arr_distinct(d, lines)
+    n_dl = (f"size({dl})" if d == SPARK else f"len({dl})")
+    alpha_words = arr_filter(
+        d, words, rlike(d, "x", "[\\p{L}]")
+        if d == SPARK else "regexp_matches(x, '\\p{L}')")
+    n_alpha = (f"size({alpha_words})" if d == SPARK
+               else f"len({alpha_words})")
+    bullets = arr_filter(
+        d, lines, "(x LIKE '- %' OR x LIKE '* %' OR x LIKE '• %')")
+    n_bullet = (f"size({bullets})" if d == SPARK else f"len({bullets})")
+    ellipses = arr_filter(
+        d, lines, "(x LIKE '%...' OR x LIKE '%…')")
+    n_ellip = (f"size({ellipses})" if d == SPARK else f"len({ellipses})")
+    padded = f"concat(' ', replace(lower({text}), chr(10), ' '), ' ')"
+    stop_hits = " + ".join(
+        f"(CASE WHEN position(' {w} ' IN {padded}) > 0 THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS)
+    n_hash = f"(length({text}) - length(replace({text}, '#', '')))"
+    n_uell = f"(length({text}) - length(replace({text}, '…', '')))"
+    n_dell = (f"floor((length({text}) - "
+              f"length(replace({text}, '...', ''))) / 3)")
+    return {
+        "n_words": f"cast({n_words} AS bigint)",
+        "mean_word_len": (f"round({arr_sum_lengths(d, words)} * 1e0 / "
+                          f"greatest({n_words}, 1), 4)"),
+        "symbol_word_ratio": (f"round(({n_hash} + {n_uell} + {n_dell}) "
+                              f"* 1e0 / greatest({n_words}, 1), 4)"),
+        "bullet_frac": (f"round({n_bullet} * 1e0 / "
+                        f"greatest({n_lines}, 1), 4)"),
+        "ellipsis_frac": (f"round({n_ellip} * 1e0 / "
+                          f"greatest({n_lines}, 1), 4)"),
+        "alpha_word_frac": (f"round({n_alpha} * 1e0 / "
+                            f"greatest({n_words}, 1), 4)"),
+        "stopword_hits": f"cast(({stop_hits}) AS bigint)",
+        "dup_line_frac": (f"round((({n_lines}) - ({n_dl})) * 1e0 / "
+                          f"greatest({n_lines}, 1), 4)"),
+        "dup_line_char_frac": (
+            f"round(greatest({arr_sum_lengths(d, lines)} - "
+            f"{arr_sum_lengths(d, dl)}, 0) * 1e0 / "
+            f"greatest({arr_sum_lengths(d, lines)}, 1), 4)"),
+    }
+
+
+def gopher_keep_expr(d: str, text: str = "text",
+                     th: dict | None = None) -> str:
+    """The conjunction of all Gopher gates as one boolean expression."""
+    t = dict(GOPHER_THRESHOLDS, **(th or {}))
+    s = gopher_signal_exprs(d, text)
+    checks = [
+        f"({s['n_words']} >= {t['min_words']})",
+        f"({s['n_words']} <= {t['max_words']})",
+        f"({s['mean_word_len']} >= {t['min_mean_word_len']})",
+        f"({s['mean_word_len']} <= {t['max_mean_word_len']})",
+        f"({s['symbol_word_ratio']} <= {t['max_symbol_word_ratio']})",
+        f"({s['bullet_frac']} <= {t['max_bullet_frac']})",
+        f"({s['ellipsis_frac']} <= {t['max_ellipsis_frac']})",
+        f"({s['alpha_word_frac']} >= {t['min_alpha_word_frac']})",
+        f"({s['stopword_hits']} >= {t['min_stopword_hits']})",
+        f"({s['dup_line_frac']} <= {t['max_dup_line_frac']})",
+        f"({s['dup_line_char_frac']} <= {t['max_dup_line_char_frac']})",
+    ]
+    return "(" + " AND ".join(checks) + ")"
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text",
+                   thresholds: dict | None = None,
+                   signals: bool = True) -> DataFrame:
+    """Adds the Gopher signal columns + ``gopher_keep``; filter with
+    ``.where('gopher_keep')``.  One projection, scan-speed."""
+    from ccspark.sqlgen import SPARK as _S
+    out = docs
+    if signals:
+        for name, expr in gopher_signal_exprs(_S, text_col).items():
+            out = out.withColumn(name, F.expr(expr))
+    return out.withColumn(
+        "gopher_keep", F.expr(gopher_keep_expr(_S, text_col, thresholds)))

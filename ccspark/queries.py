@@ -326,6 +326,24 @@ FROM docs d CROSS JOIN prior_best pb
 LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rk = 1"""
 
 
+def q_gopher_quality(d: str) -> str:
+    """Document-level Gopher/C4 quality gate (Rae et al. 2021 table A1 +
+    repetition signals) over the pages fixture: every signal and the keep
+    verdict computed in ONE projection via array higher-order functions -
+    no explode, no shuffle, no UDF (ccspark.quality.gopher_signal_exprs;
+    the DataFrame operator quality.gopher_quality shares these exact
+    fragments)."""
+    from ccspark.quality import gopher_keep_expr, gopher_signal_exprs
+    sig = gopher_signal_exprs(d, "text")
+    cols = ",\n       ".join(f"{e} AS {name}" for name, e in sig.items())
+    keep = gopher_keep_expr(d, "text")
+    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p)
+SELECT doc_id, url,
+       {cols},
+       {keep} AS gopher_keep
+FROM pages"""
+
+
 def q_word_ngrams(d: str, n: int = 2, top: int = 10) -> str:
     """X4 (utilities.py defines an n-grams helper the reference never
     calls; here it is a first-class operator): top word-bigrams per lang
@@ -1060,6 +1078,7 @@ QUERY_BUILDERS: dict[str, Callable[[str], str]] = {
     "str_hash_bitcompat": q_str_hash_bitcompat,
     "word_ngrams": q_word_ngrams,
     "repeat_buyers": q_repeat_buyers,
+    "gopher_quality": q_gopher_quality,
     "quality_signals": q_quality_signals,
     "perplexity_outliers": q_perplexity_outliers,
     "minhash_pairs": q_minhash_pairs,

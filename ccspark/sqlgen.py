@@ -77,6 +77,27 @@ def arr_len(d: str, arr: str) -> str:
     return f"len({arr})"
 
 
+def arr_filter(d: str, arr: str, cond: str) -> str:
+    """Filter an array by a lambda condition over ``x`` (both engines use
+    the same ``x -> cond`` lambda syntax)."""
+    fn = "filter" if d == SPARK else "list_filter"
+    return f"{fn}({arr}, x -> {cond})"
+
+
+def arr_distinct(d: str, arr: str) -> str:
+    fn = "array_distinct" if d == SPARK else "list_distinct"
+    return f"{fn}({arr})"
+
+
+def arr_sum_lengths(d: str, arr: str) -> str:
+    """Total string length over an array of strings (bigint both sides)."""
+    if d == SPARK:
+        return (f"aggregate(transform({arr}, x -> length(x)), "
+                f"cast(0 as bigint), (acc, v) -> acc + v)")
+    return (f"cast(coalesce(list_sum(list_transform({arr}, "
+            f"x -> length(x))), 0) as bigint)")
+
+
 def hex_to_bigint(d: str, hex_expr: str) -> str:
     """Interpret a hex string (<=15 chars to stay in int64) as a bigint."""
     if d == SPARK:

@@ -1,0 +1,77 @@
+"""Gopher/C4 document-quality rules: every gate must fire on a document
+built to violate exactly that gate, and the clean document must pass."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from ccspark import quality
+
+GOOD_LINE = ("the quick brown fox jumps over and over that lazy dog to "
+             "be of service and have fun with every word in this line")
+# 4 distinct lines x ~24 words = ~96 words, all rules satisfied
+GOOD = "\n".join(f"{GOOD_LINE} variant {i}" for i in range(4))
+
+DOCS = {
+    "clean": GOOD,
+    "too_short": "the and of that " * 3,                      # < 50 words
+    "long_words": "\n".join(
+        " ".join("supercalifragilistic" for _ in range(30))
+        for _ in range(2)) + " the and",                      # mean len > 10
+    "symbols": GOOD + " " + "# " * 30,                        # '#' ratio
+    "bullets": "\n".join(f"- {GOOD_LINE}" for _ in range(4)),  # 100% bullets
+    "ellipses": "\n".join(f"{GOOD_LINE}..." for _ in range(4)),
+    "numeric": GOOD + "\n" + " ".join("12345" for _ in range(120)),
+    "no_stopwords": "\n".join(
+        " ".join("zebra quartz jumble" for _ in range(10))
+        for _ in range(4)),                                   # 0 stopword hits
+    "dup_lines": "\n".join([GOOD_LINE] * 9 + [GOOD_LINE + " unique"]),
+}
+
+
+def run(spark):
+    df = spark.createDataFrame(
+        [Row(name=k, text=v) for k, v in DOCS.items()])
+    return {r.name: r for r in quality.gopher_quality(df).collect()}
+
+
+def test_clean_doc_passes_and_each_violation_fires(spark):
+    got = run(spark)
+    assert got["clean"].gopher_keep
+    for name in DOCS:
+        if name != "clean":
+            assert not got[name].gopher_keep, name
+
+
+def test_signals_point_at_the_right_rule(spark):
+    got = run(spark)
+    th = quality.GOPHER_THRESHOLDS
+    assert got["too_short"].n_words < th["min_words"]
+    assert got["long_words"].mean_word_len > th["max_mean_word_len"]
+    assert got["symbols"].symbol_word_ratio > th["max_symbol_word_ratio"]
+    assert got["bullets"].bullet_frac > th["max_bullet_frac"]
+    assert got["ellipses"].ellipsis_frac > th["max_ellipsis_frac"]
+    assert got["numeric"].alpha_word_frac < th["min_alpha_word_frac"]
+    assert got["no_stopwords"].stopword_hits < th["min_stopword_hits"]
+    assert got["dup_lines"].dup_line_frac > th["max_dup_line_frac"]
+    assert got["dup_lines"].dup_line_char_frac > th["max_dup_line_char_frac"]
+    # the clean doc's signals sit inside every bound
+    c = got["clean"]
+    assert th["min_mean_word_len"] <= c.mean_word_len <= \
+        th["max_mean_word_len"]
+    assert c.stopword_hits >= th["min_stopword_hits"]
+    assert c.dup_line_frac == 0.0 and c.bullet_frac == 0.0
+
+
+def test_thresholds_are_overridable(spark):
+    df = spark.createDataFrame([Row(name="short", text=DOCS["too_short"])])
+    relaxed = quality.gopher_quality(df, thresholds={"min_words": 5})
+    assert relaxed.collect()[0].gopher_keep
+
+
+def test_plan_is_one_projection_no_shuffle(spark):
+    df = spark.createDataFrame([Row(text=GOOD)])
+    plan = quality.gopher_quality(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "python" not in plan.lower()     # no UDF in the path
