@@ -25,9 +25,14 @@ from ccspark import pipeline
 
 
 def stream_corpus_build(spark: SparkSession, in_dir: str, out_dir: str,
-                        checkpoint_dir: str, schema: str | None = None):
+                        checkpoint_dir: str, schema: str | None = None,
+                        dedup_watermark: str | None = None):
     """Run the corpus pipeline incrementally over a parquet file source;
-    returns the finished StreamingQuery (AvailableNow: drains + stops)."""
+    returns the finished StreamingQuery (AvailableNow: drains + stops).
+    *dedup_watermark* (e.g. '24 hours') switches the streaming dedup to
+    dropDuplicatesWithinWatermark - bounded state, the only shape that
+    survives an unbounded crawl stream; None keeps the exact
+    (state-unbounded) dropDuplicates for finite backlogs."""
     reader = spark.readStream
     if schema is None:
         static = spark.read.parquet(in_dir)
@@ -41,8 +46,21 @@ def stream_corpus_build(spark: SparkSession, in_dir: str, out_dir: str,
     df = pipeline.clean_and_filter(df)
     df = (df.withColumn("hash", F.xxhash64("text"))
             .select("domain", "tld", "country", "region", "url",
-                    "pos", "text", "hash")
-            .dropDuplicates(["hash"]))
+                    "pos", "text", "hash"))
+    if dedup_watermark is not None:
+        # bounded-state dedup: at crawl scale the exact streaming
+        # dropDuplicates keeps EVERY hash in the state store forever; a
+        # watermark on ingestion time lets the store expire hashes older
+        # than the delay (crawl dups cluster in time - same page re-fetched
+        # within a crawl window), trading global exactness for bounded
+        # memory.  The batch compactor (pipeline.dedup_keep_first) remains
+        # the global-exactness backstop.
+        df = (df.withColumn("ingest_ts", F.current_timestamp())
+              .withWatermark("ingest_ts", dedup_watermark)
+              .dropDuplicatesWithinWatermark(["hash"])
+              .drop("ingest_ts"))
+    else:
+        df = df.dropDuplicates(["hash"])
 
     q = (df.writeStream
          .format("parquet")
@@ -101,6 +119,32 @@ def stateful_user_totals(spark: SparkSession, in_dir: str, out_dir: str,
                   update, out_schema, state_schema, "append",
                   GroupStateTimeout.NoTimeout))
     q = (totals.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
+def stream_dedup_events(spark: SparkSession, in_dir: str, out_dir: str,
+                        checkpoint_dir: str, key_cols=("user_id", "value"),
+                        delay: str = "1 hour",
+                        max_files_per_trigger: int = 1):
+    """Event-time bounded-state streaming dedup: duplicates of a key
+    arriving within *delay* of each other are dropped even ACROSS
+    micro-batches, and state for keys older than the watermark is evicted
+    (dropDuplicatesWithinWatermark - the 100-TB-stream shape; plain
+    dropDuplicates would hold every key forever).  maxFilesPerTrigger=1
+    forces multiple micro-batches so the cross-batch behavior is real."""
+    static = spark.read.parquet(in_dir)
+    events = (spark.readStream.schema(static.schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(in_dir))
+    deduped = (events.withWatermark("ts", delay)
+               .dropDuplicatesWithinWatermark(list(key_cols)))
+    q = (deduped.writeStream.format("parquet")
          .option("path", out_dir)
          .option("checkpointLocation", checkpoint_dir)
          .outputMode("append")

@@ -146,6 +146,59 @@ def test_stream_corpus_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == len(batch_hashes)
 
 
+def test_stream_dedup_within_watermark_across_batches(spark, tmp_path):
+    """Duplicates landing in DIFFERENT micro-batches but within the
+    watermark delay must still be dropped (bounded-state streaming dedup);
+    output matches the batch dropDuplicates ground truth when every dup
+    falls inside the delay."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # 3 files -> 3 micro-batches; (user_id, value) keys repeat across files
+    rows_by_file = [
+        [(1, 10.0, base), (2, 20.0, base)],
+        [(1, 10.0, base + dt.timedelta(minutes=5)),     # dup of batch 1
+         (3, 30.0, base + dt.timedelta(minutes=5))],
+        [(2, 20.0, base + dt.timedelta(minutes=10)),    # dup of batch 1
+         (3, 31.0, base + dt.timedelta(minutes=10))],   # new value -> kept
+    ]
+    in_dir = str(tmp_path / "in")
+    for i, rows in enumerate(rows_by_file):
+        spark.createDataFrame(
+            rows, "user_id long, value double, ts timestamp") \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    streaming.stream_dedup_events(spark, in_dir, out_dir, ckpt,
+                                  delay="1 hour")
+    got = sorted((r.user_id, r.value)
+                 for r in spark.read.parquet(out_dir).collect())
+    want = sorted((r.user_id, r.value)
+                  for r in spark.read.parquet(in_dir)
+                  .dropDuplicates(["user_id", "value"]).collect())
+    assert got == want == [(1, 10.0), (2, 20.0), (3, 30.0), (3, 31.0)]
+
+
+def test_stream_corpus_build_watermarked_dedup_matches_exact(
+        spark, tmp_path):
+    """The bounded-state corpus stream must produce the same rows as the
+    exact-dedup stream on a finite backlog (all dups within the delay)."""
+    src = pages_spark(spark, "/root/testdata/sf0.001")
+    in_dir = str(tmp_path / "pages")
+    src.write.parquet(in_dir)
+    out_w = str(tmp_path / "out_w")
+    streaming.stream_corpus_build(
+        spark, in_dir, out_w, str(tmp_path / "ck_w"),
+        dedup_watermark="24 hours")
+    out_e = str(tmp_path / "out_e")
+    streaming.stream_corpus_build(
+        spark, in_dir, out_e, str(tmp_path / "ck_e"))
+    w = sorted((r.url, r.pos, r.text)
+               for r in spark.read.parquet(out_w).collect())
+    e = sorted((r.url, r.pos, r.text)
+               for r in spark.read.parquet(out_e).collect())
+    assert w == e and len(w) > 0
+
+
 def test_windowed_event_counts_batch_mode(spark):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     out = streaming.windowed_event_counts(spark, events).collect()
