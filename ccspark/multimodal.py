@@ -124,3 +124,92 @@ def sample_frames(df: DataFrame, n_frames: int = 3, bin_col: str = "html",
                 "doc_id", "frame_idx", "ts_ms", "frame"])
 
     return df.select(id_col, bin_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = ("doc_id long, width int, height int, pixels binary, "
+                 "ok boolean")
+FEATURE_SCHEMA = "doc_id long, embedding array<float>, ok boolean"
+
+
+def resize_images(df: DataFrame, width: int = 224, height: int = 224,
+                  bin_col: str = "html", id_col: str = "doc_id",
+                  strict: bool = False) -> DataFrame:
+    """Image resize stage over mapInPandas (the standard pre-training
+    normalization step): binary in, fixed-size raw pixel buffer out.
+    With Pillow present the real resample runs; otherwise the documented
+    deterministic fake tiles the input bytes to exactly
+    width*height*3 bytes - the schema, batch flow and output SIZE contract
+    (len(pixels) == w*h*3) are the tested Spark plumbing.
+    strict=True raises NotImplementedError when no codec is available."""
+    pil = _try_real_decoder()
+    if strict and pil is None:
+        raise NotImplementedError(
+            "real image resizing requires Pillow; install it or use the "
+            "deterministic stub (strict=False)")
+    out_len = width * height * 3
+
+    def batches(it: Iterator):
+        import io as _io
+
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[bin_col]):
+                if blob is None:
+                    rows.append((doc_id, width, height, None, False))
+                    continue
+                b = bytes(blob)
+                if pil is not None:
+                    try:
+                        img = pil.open(_io.BytesIO(b)).convert("RGB") \
+                            .resize((width, height))
+                        rows.append((doc_id, width, height,
+                                     img.tobytes(), True))
+                        continue
+                    except Exception:
+                        rows.append((doc_id, width, height, None, False))
+                        continue
+                tiled = (b * (out_len // max(len(b), 1) + 1))[:out_len]
+                rows.append((doc_id, width, height, tiled, True))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "pixels", "ok"])
+
+    return df.select(id_col, bin_col).mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 64,
+                     bin_col: str = "html", id_col: str = "doc_id",
+                     strict: bool = False) -> DataFrame:
+    """Feature-extraction stage (embedding per media blob) over
+    mapInPandas - the shape a real vision/audio encoder serving path uses
+    (model loaded once per worker, Arrow batches through it).  No encoder
+    is installable here, so strict=True raises and the default is a
+    DETERMINISTIC fake: a seeded byte-histogram projection - stable across
+    runs/executors so downstream ANN tests can pin results.  Output plugs
+    directly into ccspark.similarity (array<float> embedding column)."""
+    if strict:
+        raise NotImplementedError(
+            "real feature extraction requires a vision/audio encoder "
+            "(e.g. torch + an ONNX model); the deterministic stub runs "
+            "with strict=False")
+
+    def batches(it: Iterator):
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            ids, vecs, oks = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[bin_col]):
+                ids.append(doc_id)
+                if blob is None:
+                    vecs.append(None)
+                    oks.append(False)
+                    continue
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                hist = np.bincount(b % dim, minlength=dim).astype("float32")
+                norm = float(np.linalg.norm(hist))
+                vecs.append((hist / norm if norm else hist).tolist())
+                oks.append(True)
+            yield pd.DataFrame(
+                {"doc_id": ids, "embedding": vecs, "ok": oks})
+
+    return df.select(id_col, bin_col).mapInPandas(batches, FEATURE_SCHEMA)

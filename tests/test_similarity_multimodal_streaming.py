@@ -113,6 +113,60 @@ def test_decode_strict_raises_without_codec(spark):
             multimodal.decode_images(pages, strict=True)
 
 
+def test_resize_stage_size_contract(spark):
+    """The resize stage's output-size contract holds regardless of codec:
+    len(pixels) == width*height*3 for every ok row; None blobs fail soft."""
+    df = spark.createDataFrame([
+        Row(doc_id=0, html=bytes([1, 2, 3, 4, 5])),
+        Row(doc_id=1, html=b"x" * 1000),
+        Row(doc_id=2, html=None),
+    ])
+    got = {r.doc_id: r for r in
+           multimodal.resize_images(df, width=8, height=4).collect()}
+    assert got[0].ok and len(got[0].pixels) == 8 * 4 * 3
+    assert got[1].ok and len(got[1].pixels) == 8 * 4 * 3
+    assert not got[2].ok and got[2].pixels is None
+    # deterministic across runs
+    again = {r.doc_id: r for r in
+             multimodal.resize_images(df, width=8, height=4).collect()}
+    assert bytes(again[1].pixels) == bytes(got[1].pixels)
+
+
+def test_extract_features_feeds_similarity(spark):
+    """The feature stage emits unit-norm array<float> embeddings that plug
+    straight into the ANN operators; identical blobs embed identically."""
+    df = spark.createDataFrame([
+        Row(doc_id=0, html=b"aaaa bbbb cccc dddd" * 10),
+        Row(doc_id=1, html=b"aaaa bbbb cccc dddd" * 10),   # exact dup
+        Row(doc_id=2, html=bytes(range(256)) * 4),
+        Row(doc_id=3, html=None),
+    ])
+    emb = multimodal.extract_features(df, dim=16)
+    rows = {r.doc_id: r for r in emb.collect()}
+    assert rows[0].embedding == rows[1].embedding
+    assert rows[0].embedding != rows[2].embedding
+    assert not rows[3].ok
+    import math
+    assert math.isclose(sum(x * x for x in rows[0].embedding), 1.0,
+                        rel_tol=1e-5)
+    ok = emb.where("ok").withColumnRenamed("doc_id", "vec_id") \
+        .withColumn("embedding", F.expr(
+            "transform(embedding, x -> cast(x as double))"))
+    knn = similarity.cosine_knn(ok, ok.where("vec_id = 0"), k=2)
+    got = [(r.neighbor_id, r.cosine) for r in
+           knn.orderBy("rk").collect()]
+    assert got[0] == (1, 1.0)          # the dup is the nearest neighbor
+
+
+def test_multimodal_strict_raises_without_codecs(spark):
+    df = spark.createDataFrame([Row(doc_id=0, html=b"zz")])
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        multimodal.resize_images(df, strict=True)
+    with _pt.raises(NotImplementedError):
+        multimodal.extract_features(df, strict=True)
+
+
 def test_sample_frames_fanout(spark):
     pages = pages_spark(spark, "/root/testdata/sf0.001", materialize=True)
     out = multimodal.sample_frames(pages.limit(5), n_frames=3).collect()
