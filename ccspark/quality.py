@@ -202,3 +202,80 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
             out = out.withColumn(name, F.expr(expr))
     return out.withColumn(
         "gopher_keep", F.expr(gopher_keep_expr(_S, text_col, thresholds)))
+
+
+# --------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020, sec 2.2) - the other published
+# web-corpus filter set.  Line gates + page gates are again pure
+# projections; the three-sentence-span dedup is a corpus-wide keep-first
+# over span hashes (one shuffle, map-side combining - same plan family as
+# pipeline.dedup_keep_first).
+
+C4_BAD_SUBSTRINGS = ("lorem ipsum", "{")
+SENT_MARK = "\x1e"
+
+
+def c4_sentences_expr(d: str, text: str = "text") -> str:
+    """Sentence array: mark terminal-punctuation+space boundaries with a
+    sentinel, then split - RE2 (DuckDB) has no lookbehind, so the
+    mark-and-split form is the cross-engine sentence splitter.  Newlines
+    are boundaries too."""
+    from ccspark.sqlgen import rrep, split_arr
+    marked = rrep(d, f"replace({text}, chr(10), '{SENT_MARK}')",
+                  r"([.!?]) ", "\\1" + SENT_MARK)
+    return split_arr(d, marked, SENT_MARK)
+
+
+def c4_line_keep_expr(d: str, line: str) -> str:
+    """C4 line gates: ends in terminal punctuation, >= 3 words, and no
+    'javascript' (case-insensitive)."""
+    from ccspark.sqlgen import rlike
+    words = f"(length({line}) - length(replace({line}, ' ', '')) + 1)"
+    term_pat = '[.!?"]$'
+    term = rlike(d, line, term_pat)
+    nojs = rlike(d, f"lower({line})", "javascript")
+    return f"({term} AND {words} >= 3 AND NOT {nojs})"
+
+
+def c4_page_keep_expr(d: str, text: str = "text",
+                      min_sentences: int = 5) -> str:
+    """C4 page gates: >= min_sentences sentences, no 'lorem ipsum', no
+    curly brace."""
+    arr = c4_sentences_expr(d, text)
+    n = (f"size(filter({arr}, x -> length(x) > 0))" if d == "spark"
+         else f"len(list_filter({arr}, x -> length(x) > 0))")
+    bads = " AND ".join(
+        f"(position('{b}' IN lower({text})) = 0)" for b in C4_BAD_SUBSTRINGS)
+    return f"(({n}) >= {min_sentences} AND {bads})"
+
+
+def c4_page_filter(docs: DataFrame, text_col: str = "text",
+                   min_sentences: int = 5) -> DataFrame:
+    from ccspark.sqlgen import SPARK as _S
+    return docs.where(F.expr(c4_page_keep_expr(_S, text_col,
+                                               min_sentences)))
+
+
+def c4_span_dedup(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", span: int = 3) -> DataFrame:
+    """C4's global dedup unit: any *span*-sentence window occurring more
+    than once corpus-wide keeps only its first occurrence (first by
+    (doc_id, span_idx)).  Returns (doc_id, span_idx, span_hash, keep) -
+    one shuffle on the span hash with map-side partial aggregation via
+    min(struct), the same 100x-safe plan as line dedup."""
+    from ccspark.sqlgen import SPARK as _S
+    arr = c4_sentences_expr(_S, text_col)
+    spans = (f"transform(sequence(1, greatest(size({arr}) - {span - 1}, 1)),"
+             f" i -> concat_ws(' ', slice({arr}, i, {span})))")
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.expr(spans)).alias("span_idx", "span_text"))
+    ex = ex.where(F.length("span_text") > 0).withColumn(
+        "span_hash", F.md5("span_text")).drop("span_text")
+    first = (ex.groupBy("span_hash")
+             .agg(F.min(F.struct("doc_id", "span_idx")).alias("_f")))
+    return (ex.join(first, "span_hash")
+            .select("doc_id", "span_idx", "span_hash",
+                    ((F.col("doc_id") == F.col("_f.doc_id")) &
+                     (F.col("span_idx") == F.col("_f.span_idx")))
+                    .alias("keep")))

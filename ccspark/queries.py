@@ -344,6 +344,67 @@ SELECT doc_id, url,
 FROM pages"""
 
 
+def q_c4_quality(d: str) -> str:
+    """C4 page + line gates (Raffel et al. 2020 sec 2.2) over pages: page
+    keep (>=5 sentences, no lorem-ipsum/brace) plus per-page counts of
+    lines passing the C4 line rules (terminal punctuation, >=3 words, no
+    'javascript') - line stats via array lambdas, no explode."""
+    from ccspark.quality import (
+        c4_line_keep_expr, c4_page_keep_expr, c4_sentences_expr,
+    )
+    lines = ("split(text, chr(10))" if d == SPARK
+             else "string_split(text, chr(10))")
+    lk = c4_line_keep_expr(d, "x")
+    kept = (f"size(filter({lines}, x -> {lk}))" if d == SPARK
+            else f"len(list_filter({lines}, x -> {lk}))")
+    nl = f"size({lines})" if d == SPARK else f"len({lines})"
+    sents = c4_sentences_expr(d, "text")
+    ns = (f"size(filter({sents}, x -> length(x) > 0))" if d == SPARK
+          else f"len(list_filter({sents}, x -> length(x) > 0))")
+    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p)
+SELECT doc_id, url,
+       cast({ns} AS bigint) AS n_sentences,
+       cast({nl} AS bigint) AS n_lines,
+       cast({kept} AS bigint) AS n_lines_kept,
+       {c4_page_keep_expr(d, 'text')} AS page_keep
+FROM pages"""
+
+
+def q_c4_span_dedup(d: str, span: int = 3) -> str:
+    """C4's global three-sentence-span dedup as SQL: explode positional
+    sentence windows, hash, keep only the first occurrence corpus-wide
+    (first by doc_id, span_idx).  SQL twin of quality.c4_span_dedup
+    (asserted identical in tests/test_gopher.py); one shuffle on the span
+    hash."""
+    from ccspark.quality import c4_sentences_expr
+    arr = c4_sentences_expr(d, "text")
+    if d == SPARK:
+        spans = (f"transform(sequence(1, greatest(size({arr}) - "
+                 f"{span - 1}, 1)), i -> concat_ws(' ', "
+                 f"slice({arr}, i, {span})))")
+        ex = (f"SELECT doc_id, span_idx + 1 AS span_idx, span_text "
+              f"FROM pages LATERAL VIEW posexplode({spans}) t "
+              f"AS span_idx, span_text")
+    else:
+        spans = (f"list_transform(generate_series(1, greatest(len({arr}) - "
+                 f"{span - 1}, 1)), i -> array_to_string("
+                 f"{arr}[i:i+{span - 1}], ' '))")
+        ex = (f"SELECT doc_id, generate_subscripts({spans}, 1) AS span_idx,"
+              f" unnest({spans}) AS span_text FROM pages")
+    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p),
+spans AS ({ex}),
+hashed AS (
+  SELECT doc_id, span_idx, md5(span_text) AS span_hash FROM spans
+  WHERE length(span_text) > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY span_hash
+                               ORDER BY doc_id, span_idx) AS rk
+  FROM hashed
+)
+SELECT doc_id, span_idx, span_hash, (rk = 1) AS keep FROM ranked"""
+
+
 def q_word_ngrams(d: str, n: int = 2, top: int = 10) -> str:
     """X4 (utilities.py defines an n-grams helper the reference never
     calls; here it is a first-class operator): top word-bigrams per lang
@@ -1079,6 +1140,8 @@ QUERY_BUILDERS: dict[str, Callable[[str], str]] = {
     "word_ngrams": q_word_ngrams,
     "repeat_buyers": q_repeat_buyers,
     "gopher_quality": q_gopher_quality,
+    "c4_quality": q_c4_quality,
+    "c4_span_dedup": q_c4_span_dedup,
     "quality_signals": q_quality_signals,
     "perplexity_outliers": q_perplexity_outliers,
     "minhash_pairs": q_minhash_pairs,

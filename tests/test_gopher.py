@@ -75,3 +75,43 @@ def test_plan_is_one_projection_no_shuffle(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "python" not in plan.lower()     # no UDF in the path
+
+
+# ---------------- C4 rules ----------------
+
+C4_PAGE = ("The first sentence is fine. Here is another good one! "
+           "A third sentence? The fourth one arrives. And a fifth here.")
+
+
+def test_c4_page_gates(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=0, text=C4_PAGE),
+        Row(doc_id=1, text="Too short. Only two sentences."),
+        Row(doc_id=2, text=C4_PAGE + " lorem ipsum dolor."),
+        Row(doc_id=3, text=C4_PAGE + " code { weird }."),
+    ])
+    kept = {r.doc_id for r in quality.c4_page_filter(df).collect()}
+    assert kept == {0}
+
+
+def test_c4_span_dedup_module_matches_sql_twin(spark):
+    """The DataFrame op and the SQL template must mark identical
+    (doc_id, span_idx, keep) sets on the driver fixture."""
+    from ccspark import queries as Q
+    from ccspark.fixtures_sql import pages_spark
+    sf = "/root/testdata/sf0.001"
+    pages = pages_spark(spark, sf)
+    mod = {(r.doc_id, r.span_idx, r.span_hash): r.keep
+           for r in quality.c4_span_dedup(pages).collect()}
+    Q.ensure_views(spark, sf)
+    # module posexplode is 0-based; the SQL template is 1-based
+    sql = {(r.doc_id, r.span_idx - 1, r.span_hash): r.keep
+           for r in spark.sql(Q.q_c4_span_dedup(Q.SPARK)).collect()}
+    assert mod == sql
+    # exactly one keeper per hash, and it is the (doc_id, span_idx) min
+    by_hash = {}
+    for (doc, idx, h), keep in mod.items():
+        by_hash.setdefault(h, []).append((doc, idx, keep))
+    for h, occ in by_hash.items():
+        keepers = [(d, i) for d, i, k in occ if k]
+        assert keepers == [min((d, i) for d, i, _ in occ)], h
