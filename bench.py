@@ -68,10 +68,22 @@ def main() -> None:
         "tpch_pricing_summary",
         "top_customers_per_nation",
         "events_sessionization",
+        "gopher_quality",        # doc-level quality gate (scan-speed)
+        "c4_span_dedup",         # global 3-sentence-span dedup (1 shuffle)
+        "word_ngrams",
     )
     for name in sql_queries:
         sql = Q.QUERY_BUILDERS[name](SPARK)
         timed(name, lambda s=sql: spark.sql(s).count())
+
+    # production LID serving path: model trained once (prep, excluded),
+    # scoring via the Iterator pandas UDF (timed) - the SQL twin
+    # lid_ngram_sql is a correctness oracle, not the serving path
+    from ccspark import lid
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lid_model = lid.train(docs_tbl, n=3, top_k=1000)
+    timed("lid_predict",
+          lambda: lid.predict(spark, docs_tbl, lid_model).count())
 
     # reference-comparable micro-op (Benchmark/Deduplicate.py semantics:
     # hash the Text column + drop_duplicates; reference: 13.9s hashing +

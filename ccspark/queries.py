@@ -299,10 +299,12 @@ priors AS (
   FROM docs CROSS JOIN ndocs nd GROUP BY lang
 ),
 doc_grams AS (
-  SELECT g.doc_id, g.gram FROM valid g JOIN vocab v ON g.gram = v.gram
+  SELECT g.doc_id, g.gram, count(*) AS cnt
+  FROM valid g JOIN vocab v ON g.gram = v.gram
+  GROUP BY g.doc_id, g.gram
 ),
 scored AS (
-  SELECT dg.doc_id, a.lang, sum(coalesce(ll.lp, a.lp0)) AS gsum
+  SELECT dg.doc_id, a.lang, sum(dg.cnt * coalesce(ll.lp, a.lp0)) AS gsum
   FROM doc_grams dg
   CROSS JOIN alpha a
   LEFT JOIN loglik ll ON ll.lang = a.lang AND ll.gram = dg.gram
