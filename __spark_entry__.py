@@ -19,14 +19,18 @@ from ccspark import queries as Q
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the end-to-end corpus build (geo gate -> line explode ->
-    clean/keep kernel -> ordinal -> dedup) on sf0.001, through the
-    production pandas-UDF pipeline."""
-    from ccspark import pipeline
+    """Flagship: the full quality_filter composite on sf0.001 through the
+    production facade - Gopher + C4 document gates (scan-speed pruning) ->
+    geo gate -> line explode -> clean/keep pandas-UDF kernel -> ordinal ->
+    keep-first dedup -> PII scrub.  Hash-verified end-to-end against a
+    one-statement DuckDB twin (driver query ``training_corpus``)."""
+    from ccspark.api import CCSparkCorpus
     from ccspark.fixtures_sql import pages_spark
 
     pages = pages_spark(spark, "/root/testdata/sf0.001")
-    return pipeline.corpus_lines(pages)
+    cc = CCSparkCorpus(spark)
+    return cc.build_training_corpus(
+        pages, gopher_thresholds=Q.TRAINING_GOPHER_TH)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

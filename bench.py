@@ -52,6 +52,14 @@ def main() -> None:
           lambda: pipeline.corpus_lines(pages).count(), warm=True)
     timed("cell_metrics", lambda: pipeline.cell_metrics(pages).count())
 
+    # the full quality_filter composite (Gopher+C4 doc gates -> kernel ->
+    # dedup -> PII scrub) through the production facade
+    from ccspark.api import CCSparkCorpus
+    cc = CCSparkCorpus(spark)
+    timed("training_corpus",
+          lambda: cc.build_training_corpus(
+              pages, gopher_thresholds=Q.TRAINING_GOPHER_TH).count())
+
     sql_queries = (
         "corpus_lines",          # pure-SQL rendering of the same pipeline
         "quality_signals",

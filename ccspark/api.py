@@ -61,6 +61,34 @@ class CCSparkCorpus:
                        "line_id", "text", "hash")
         return pipeline.dedup_keep_first(df)
 
+    def build_training_corpus(self, pages: DataFrame,
+                              gopher: bool = True, c4: bool = True,
+                              scrub_pii: bool = True,
+                              gopher_thresholds: dict | None = None
+                              ) -> DataFrame:
+        """The quality_filter composite a modern training-data pipeline
+        runs: document gates FIRST (Gopher + C4 page rules - scan-speed
+        array projections that prune whole pages before the expensive
+        explode), then the reference line kernel + geo gate + dedup
+        (process_pages), then the PII scrub over the surviving lines.
+
+        Scrub runs AFTER dedup on purpose: the dedup hash keys pre-scrub
+        text (placeholders like <EMAIL> would otherwise collide distinct
+        lines, and the kernel's strip_tags would eat the placeholders if
+        scrubbed before cleaning).  The whole composite is hash-verified
+        against a DuckDB SQL twin (driver query ``training_corpus``)."""
+        df = pages
+        if gopher:
+            df = (quality.gopher_quality(df, signals=False,
+                                         thresholds=gopher_thresholds)
+                  .where("gopher_keep").drop("gopher_keep"))
+        if c4:
+            df = quality.c4_page_filter(df)
+        lines = self.process_pages(df)
+        if scrub_pii:
+            lines = lines.withColumn("text", scrub_mod.scrub_col("text"))
+        return lines
+
     def metrics(self, pages: DataFrame) -> DataFrame:
         """Per (region, country, lang) lineage metrics (north_rule)."""
         return pipeline.cell_metrics(

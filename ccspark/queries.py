@@ -87,13 +87,22 @@ geo_pages AS (
 )"""
 
 
-def corpus_lines_cte(d: str) -> str:
-    """geo_pages -> explode -> clean -> keep -> ordinal -> dedup(first)."""
+def corpus_lines_cte(d: str, page_filter: str | None = None) -> str:
+    """geo_pages -> explode -> clean -> keep -> ordinal -> dedup(first).
+    *page_filter*: optional boolean SQL over geo_pages columns (e.g. the
+    Gopher/C4 document gates) applied BEFORE the explode - the composite
+    training-corpus shape prunes whole documents at scan speed first."""
     cleaned = kernel.cleaned_expr(d, "raw_line")
     rules = kernel.rule_exprs(d, "raw_line", "text")
     post = " AND ".join(rules[k] for k in kernel.RULE_ORDER[1:])
-    return f"""{geo_pages_cte(d)},
-raw_lines AS (SELECT * FROM {_posexplode_lines(d, 'geo_pages')} rl),
+    src = "geo_pages"
+    gate = ""
+    if page_filter is not None:
+        gate = (f",\ngated_pages AS (SELECT * FROM geo_pages "
+                f"WHERE {page_filter})")
+        src = "gated_pages"
+    return f"""{geo_pages_cte(d)}{gate},
+raw_lines AS (SELECT * FROM {_posexplode_lines(d, src)} rl),
 cleaned_lines AS (
   SELECT doc_id, url, tld, domain, country, region, lang, pos,
          {cleaned} AS text
@@ -344,6 +353,31 @@ SELECT doc_id, url,
        {cols},
        {keep} AS gopher_keep
 FROM pages"""
+
+
+# fixture-friendly Gopher override shared by the training_corpus pair:
+# the synthetic pages carry only 'the' from the stopword list
+TRAINING_GOPHER_TH = {"min_stopword_hits": 1}
+
+
+def q_training_corpus(d: str) -> str:
+    """The full quality_filter composite as ONE SQL statement: Gopher doc
+    gate + C4 page gate (scan-speed pruning BEFORE the explode) -> geo
+    gate -> line kernel -> ordinal -> keep-first dedup -> PII scrub on the
+    surviving lines.  The Spark side of this pair is the PRODUCTION facade
+    (api.CCSparkCorpus.build_training_corpus - pandas-UDF kernel and all),
+    so a green hash here verifies the whole composite end-to-end."""
+    from ccspark.quality import c4_page_keep_expr, gopher_keep_expr
+    gate = (f"({gopher_keep_expr(d, 'text', TRAINING_GOPHER_TH)} AND "
+            f"{c4_page_keep_expr(d, 'text')})")
+    s = "text"
+    s = rrep(d, s, RE_PII_EMAIL, "<EMAIL>")
+    s = rrep(d, s, RE_PII_SSN, "<SSN>")
+    s = rrep(d, s, RE_PII_IP, "<IP>")
+    s = rrep(d, s, RE_PII_PHONE, "<PHONE>")
+    return f"""WITH {corpus_lines_cte(d, page_filter=gate)}
+SELECT domain, tld, country, region, url, line_id, {s} AS text
+FROM corpus_lines"""
 
 
 def q_c4_quality(d: str) -> str:
@@ -1248,6 +1282,21 @@ _IVF_RECALL_ORACLE = ("SELECT cast(NULL AS bigint) AS query_id, "
                       "cast(NULL AS double) AS recall WHERE false")
 
 
+def _mq_training_corpus(spark, sf_dir):
+    """The PRODUCTION composite (api facade: Gopher+C4 doc gates ->
+    pandas-UDF kernel pipeline -> dedup -> PII scrub), hash-compared
+    against the one-statement SQL twin q_training_corpus(DUCK)."""
+    from ccspark.api import CCSparkCorpus
+    from ccspark.fixtures_sql import pages_spark
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = pages_spark(spark, sf_dir)
+    cc = CCSparkCorpus(spark)
+    out = cc.build_training_corpus(
+        pages, gopher_thresholds=TRAINING_GOPHER_TH)
+    return out.select("domain", "tld", "country", "region", "url",
+                      "line_id", "text")
+
+
 def _mq_lid_ngram(spark, sf_dir):
     """M1: trainable char-n-gram LID served via Iterator pandas UDF
     (deterministic: seeded counts, pinned vocab order)."""
@@ -1279,6 +1328,7 @@ def _mq_dual_lid_agreement(spark, sf_dir):
 
 
 MODULE_QUERIES = {
+    "training_corpus": _mq_training_corpus,
     "greedy_domain_chunks": _mq_greedy_domain_chunks,
     "greedy_domain_totals": _mq_greedy_domain_totals,
     "lid_ngram": _mq_lid_ngram,
@@ -1291,6 +1341,7 @@ MODULE_QUERIES = {
 # side runs real pandas-UDF/ML operators, the oracle recomputes an
 # invariant of their output in SQL (driver hash-compares as usual).
 MODULE_ORACLES = {
+    "training_corpus": q_training_corpus(DUCK),
     "greedy_domain_totals": q_greedy_domain_totals(DUCK),
     "ivf_recall": _IVF_RECALL_ORACLE,
 }

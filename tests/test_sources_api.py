@@ -113,3 +113,38 @@ def test_facade_mine_url_filters(spark):
     mined = cc.mine_url_filters(pipeline.with_geo(pages)).collect()
     assert [r.domain for r in mined] == ["multi"]
     assert mined[0].num_of_pages == 5
+
+
+def test_build_training_corpus_composite(spark):
+    """The quality_filter composite: doc gates prune pages, kernel+dedup
+    run on survivors, PII is scrubbed from every output line."""
+    from pyspark.sql import Row, functions as F
+
+    from ccspark.api import CCSparkCorpus
+    good_line = ("the quick brown fox jumps over and over that lazy dog "
+                 "to be of service and have fun with every word here.")
+    good_text = "\n".join(f"{good_line} Variant number {i} is fine."
+                          for i in range(5))
+    pages = spark.createDataFrame([
+        Row(doc_id=0, url="https://www.good.de/a", lang="en",
+            text=good_text + "\nmy server lives at 192.168.1.100 in the rack and it answers on every port all day."),
+        Row(doc_id=1, url="https://www.short.de/b", lang="en",
+            text="Too short. Really."),                    # gopher: words
+        Row(doc_id=2, url="https://www.lorem.de/c", lang="en",
+            text=good_text + " lorem ipsum dolor sit."),   # c4: lorem
+    ])
+    cc = CCSparkCorpus(spark)
+    out = cc.build_training_corpus(pages).collect()
+    assert out
+    urls = {r.url for r in out}
+    assert urls == {"https://www.good.de/a"}
+    assert all("192.168" not in r.text for r in out)
+    assert any("<IP>" in r.text for r in out)
+    # the kernel's @-strip removes raw emails BEFORE scrub (reference
+    # utilities:265-270), so no address can reach the output either way
+    assert all("@" not in r.text for r in out)
+    # gates off -> the lorem page's lines come back
+    out_all = cc.build_training_corpus(
+        pages, gopher=False, c4=False, scrub_pii=False).collect()
+    assert {r.url for r in out_all} >= {"https://www.good.de/a",
+                                        "https://www.lorem.de/c"}
