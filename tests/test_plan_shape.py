@@ -45,3 +45,23 @@ def test_flagship_exchange_count(spark):
     # broadcast exchanges are fine; count only shuffle exchanges
     shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
     assert shuffles <= 2, f"unexpected extra shuffles ({shuffles}):\n{plan}"
+
+
+def test_composite_doc_gates_run_before_explode(spark):
+    """The Gopher/C4 document gates must execute BELOW the line explode in
+    the physical plan (prune whole pages before the row blow-up) - the
+    property that makes the composite scan-bound at crawl scale."""
+    from ccspark.api import CCSparkCorpus
+    pages = pages_spark(spark, "/root/testdata/sf0.001", materialize=True)
+    out = CCSparkCorpus(spark).build_training_corpus(pages)
+    plan = plan_of(out)
+    lines = plan.splitlines()
+    gen = min(i for i, ln in enumerate(lines) if "Generate" in ln)
+    gates = [i for i, ln in enumerate(lines)
+             if "Filter" in ln and "size(filter(" in ln]
+    assert gates, plan
+    # executedPlan prints children below parents: deeper = earlier
+    assert all(i > gen for i in gates), (gen, gates)
+    # still at most the flagship's two shuffles
+    shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert shuffles <= 2, shuffles
