@@ -1297,6 +1297,43 @@ def _mq_training_corpus(spark, sf_dir):
                       "line_id", "text")
 
 
+def _mq_pq_recall(spark, sf_dir):
+    """Assertion query for product quantization: PQ-shortlist(100) +
+    exact-rerank recall@5 vs brute-force kNN.  Emits query vectors with
+    recall < 0.2 OR everything when the mean drops below 0.8 - expected
+    EMPTY.  Any real machinery bug (misaligned subspace codes, wrong
+    lookup axis, broken rerank join) craters recall to ~0, so the empty
+    oracle catches it; the tight bar (recall == 1.0 on clustered vectors
+    at shortlist=50) lives in pytest - the fixture embeddings are
+    near-uniform noise where per-query recall is data-limited (observed
+    min 0.4, mean 0.93)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ccspark import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes, books = similarity.build_pq(emb, m=8, nbits=4)
+    q = emb.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_knn(emb, q, k=5)
+    approx = similarity.pq_knn(codes, books, q, k=5,
+                               rerank_with=emb, shortlist=100)
+    hits = (exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+    recall = (exact.select("query_id").distinct()
+              .join(hits, "query_id", "left")
+              .select("query_id",
+                      (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0))
+                      .alias("recall")))
+    mean = F.avg("recall").over(Window.partitionBy())
+    return (recall.withColumn("_mean", mean)
+            .where((F.col("recall") < 0.2) | (F.col("_mean") < 0.8))
+            .drop("_mean"))
+
+
+_PQ_RECALL_ORACLE = ("SELECT cast(NULL AS bigint) AS query_id, "
+                     "cast(NULL AS double) AS recall WHERE false")
+
+
 def _mq_lid_ngram(spark, sf_dir):
     """M1: trainable char-n-gram LID served via Iterator pandas UDF
     (deterministic: seeded counts, pinned vocab order)."""
@@ -1334,6 +1371,7 @@ MODULE_QUERIES = {
     "lid_ngram": _mq_lid_ngram,
     "ivf_ann": _mq_ivf_ann,
     "ivf_recall": _mq_ivf_recall,
+    "pq_recall": _mq_pq_recall,
     "dual_lid_agreement": _mq_dual_lid_agreement,
 }
 
@@ -1344,4 +1382,5 @@ MODULE_ORACLES = {
     "training_corpus": q_training_corpus(DUCK),
     "greedy_domain_totals": q_greedy_domain_totals(DUCK),
     "ivf_recall": _IVF_RECALL_ORACLE,
+    "pq_recall": _PQ_RECALL_ORACLE,
 }

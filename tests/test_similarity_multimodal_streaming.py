@@ -73,6 +73,38 @@ def test_ivf_partial_probe_recall_on_clustered_vectors(spark):
     assert recall >= 0.9, recall
 
 
+def test_pq_shortlist_rerank_exact_on_clustered_vectors(spark):
+    """PQ is the memory-side scale path (8 int codes per vector here vs
+    16 doubles): the two-stage shortlist+rerank must recover the exact
+    top-5 on clustered vectors, and codes must be within the nbits
+    range."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 16)) * 5.0
+    rows = [(i, [float(x) for x in centers[i % 10] +
+                 rng.normal(size=16) * 0.3], i % 10) for i in range(400)]
+    e = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int")
+    codes, books = similarity.build_pq(e, m=8, nbits=4)
+    crow = codes.first()
+    assert len(crow.pq_code) == 8
+    assert all(0 <= c < 16 for c in crow.pq_code)
+    assert books.shape == (8, 16, 2)
+    q = e.where(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_knn(e, q, k=5).collect()}
+    rr = {(r.query_id, r.neighbor_id)
+          for r in similarity.pq_knn(codes, books, q, k=5,
+                                     rerank_with=e,
+                                     shortlist=50).collect()}
+    assert rr == exact
+    # deterministic: rebuild gives identical codes
+    codes2, _ = similarity.build_pq(e, m=8, nbits=4)
+    a = sorted((r.vec_id, tuple(r.pq_code)) for r in codes.collect())
+    b = sorted((r.vec_id, tuple(r.pq_code)) for r in codes2.collect())
+    assert a == b
+
+
 # ---------------- multimodal ----------------
 
 def test_media_meta_sniffs_types(spark):
