@@ -441,6 +441,28 @@ ranked AS (
 SELECT doc_id, span_idx, span_hash, (rk = 1) AS keep FROM ranked"""
 
 
+def q_url_normalize(d: str) -> str:
+    """D3 with canonicalization: crawl URL variants (tracking params,
+    fragments, scheme/host case, trailing slash) must collapse to one
+    dedup key while REAL query params keep their own.  Decorates every
+    fixture URL three ways: the tracking/fragment and case/slash variants
+    collapse onto the original (groups of 3), the variant carrying a
+    non-tracking param (&keep=1) stays distinct (groups of 1) - the
+    group-count distribution is value-hashed cross-engine."""
+    norm = geo.normalize_url_expr(d, "u")
+    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p),
+variants AS (
+  SELECT url AS u FROM pages
+  UNION ALL SELECT url || '?utm_source=news&utm_campaign=x#frag' FROM pages
+  UNION ALL SELECT replace(replace(url, 'https://', 'HTTPS://WWW.'),
+                           'www.', '') || '/' FROM pages
+  UNION ALL SELECT url || '?gclid=abc123&keep=1' FROM pages
+),
+normed AS (SELECT {norm} AS canon FROM variants)
+SELECT canon, cast(count(*) AS bigint) AS n_variants
+FROM normed GROUP BY canon"""
+
+
 def q_word_ngrams(d: str, n: int = 2, top: int = 10) -> str:
     """X4 (utilities.py defines an n-grams helper the reference never
     calls; here it is a first-class operator): top word-bigrams per lang
@@ -1175,6 +1197,7 @@ QUERY_BUILDERS: dict[str, Callable[[str], str]] = {
     "str_hash_bitcompat": q_str_hash_bitcompat,
     "word_ngrams": q_word_ngrams,
     "repeat_buyers": q_repeat_buyers,
+    "url_normalize": q_url_normalize,
     "gopher_quality": q_gopher_quality,
     "c4_quality": q_c4_quality,
     "c4_span_dedup": q_c4_span_dedup,

@@ -78,3 +78,32 @@ def test_write_url_filter_csv_roundtrip(spark, tmp_path):
     got = {r.domain: (r.num_of_countries, r.num_of_pages)
            for r in back.collect()}
     assert got == {"hotel": (9, 253383), "kayak": (4, 1000)}
+
+
+URL_NORM_CASES = {
+    "https://www.Hotel.de/p0?utm_source=x&keep=1#frag":
+        "https://www.hotel.de/p0?keep=1",
+    "HTTPS://WWW.HOTEL.DE:443/p0?keep=1":
+        "https://www.hotel.de/p0?keep=1",
+    "http://site.fr:80/a/b/": "http://site.fr/a/b",
+    "https://www.hotel.de/p0/?utm_source=a&utm_medium=b&fbclid=z":
+        "https://www.hotel.de/p0",
+    "https://h.de/p?gclid=1&x=2&utm_term=3": "https://h.de/p?x=2",
+    "https://h.de/Path/Case": "https://h.de/Path/Case",  # path case kept
+}
+
+
+def test_normalize_url_expr_both_dialects(spark, duck):
+    urls = sorted(URL_NORM_CASES)
+    vals = ", ".join(f"('{u}')" for u in urls)
+    got_d = dict(duck.sql(
+        f"SELECT u, {geo.normalize_url_expr(DUCK, 'u')} "
+        f"FROM (VALUES {vals}) t(u)").fetchall())
+    spark.createDataFrame([(u,) for u in urls], "u string") \
+        .createOrReplaceTempView("norm_urls")
+    got_s = dict(spark.sql(
+        f"SELECT u, {geo.normalize_url_expr(SPARK, 'u')} "
+        f"FROM norm_urls").collect())
+    for u, want in URL_NORM_CASES.items():
+        assert got_d[u] == want, ("duck", u, got_d[u])
+        assert got_s[u] == want, ("spark", u, got_s[u])
