@@ -279,3 +279,68 @@ def c4_span_dedup(docs: DataFrame, text_col: str = "text",
                     ((F.col("doc_id") == F.col("_f.doc_id")) &
                      (F.col("span_idx") == F.col("_f.span_idx")))
                     .alias("keep")))
+
+
+# Gopher repetition panel, part 2 (Rae et al. 2021 table A1 rows 8-13):
+# character fraction in the MOST COMMON word {2,3,4}-gram and in
+# DUPLICATED word 5-grams.  Needs per-(doc, gram) counts -> one shuffle
+# (unlike the scalar gopher signals, which are projections).  Convention
+# (the RedPajama/Dolma reading of the paper): frac = count * len(gram) /
+# len(text) for the top gram; sum over grams with count > 1 for dups.
+
+GOPHER_REP_THRESHOLDS = dict(
+    max_top2_frac=0.20, max_top3_frac=0.18, max_top4_frac=0.16,
+    max_dup5_frac=0.15,
+)
+
+
+def gopher_repetition(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      thresholds: dict | None = None) -> DataFrame:
+    """Per-doc repetition signals + ``rep_keep``.  DataFrame twin of the
+    oracled SQL template (queries.q_gopher_repetition) - asserted equal in
+    tests/test_gopher.py."""
+    from pyspark.sql.window import Window
+    t = dict(GOPHER_REP_THRESHOLDS, **(thresholds or {}))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("text"))
+    words = "filter(split(text, '\\\\s+'), x -> x != '')"
+
+    def gram_counts(n):
+        spans = (f"transform(sequence(1, greatest(size({words}) - {n - 1},"
+                 f" 1)), i -> concat_ws(' ', slice({words}, i, {n})))")
+        g = base.select("doc_id", F.explode(F.expr(spans)).alias("gram"))
+        g = g.where(F.length("gram") - F.length(
+            F.regexp_replace("gram", " ", "")) == n - 1)
+        return g.groupBy("doc_id", "gram").count()
+
+    def top_frac(n):
+        c = gram_counts(n)
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("count"), "gram")
+        return (c.withColumn("rk", F.row_number().over(w))
+                .where("rk = 1")
+                .select("doc_id",
+                        (F.col("count") * F.length("gram"))
+                        .alias(f"top{n}_chars")))
+
+    dup5 = (gram_counts(5).where("count > 1")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("count") * F.length("gram"))
+                 .alias("dup5_chars")))
+    out = base.select("doc_id", F.length("text").alias("_len"))
+    for n in (2, 3, 4):
+        out = out.join(top_frac(n), "doc_id", "left")
+    out = out.join(dup5, "doc_id", "left")
+    cols = {"top2_frac": "top2_chars", "top3_frac": "top3_chars",
+            "top4_frac": "top4_chars", "dup5_frac": "dup5_chars"}
+    for frac, chars in cols.items():
+        out = out.withColumn(frac, F.round(
+            F.coalesce(F.col(chars), F.lit(0)) * F.lit(1.0) /
+            F.greatest(F.col("_len"), F.lit(1)), 4))
+    keep = ((F.col("top2_frac") <= t["max_top2_frac"])
+            & (F.col("top3_frac") <= t["max_top3_frac"])
+            & (F.col("top4_frac") <= t["max_top4_frac"])
+            & (F.col("dup5_frac") <= t["max_dup5_frac"]))
+    return out.select("doc_id", "top2_frac", "top3_frac", "top4_frac",
+                      "dup5_frac", keep.alias("rep_keep"))

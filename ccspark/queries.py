@@ -380,6 +380,67 @@ SELECT domain, tld, country, region, url, line_id, {s} AS text
 FROM corpus_lines"""
 
 
+def q_gopher_repetition(d: str) -> str:
+    """Gopher repetition panel part 2 (table A1 rows 8-13): character
+    fraction of the MOST COMMON word {2,3,4}-gram and of DUPLICATED word
+    5-grams per document, with the keep verdict.  SQL twin of
+    quality.gopher_repetition (asserted equal in tests/test_gopher.py);
+    per-(doc, gram) counts are the one shuffle."""
+    from ccspark.quality import GOPHER_REP_THRESHOLDS as T
+    if d == SPARK:
+        words = r"filter(split(text, '\\s+'), x -> x != '')"
+    else:
+        words = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
+
+    def grams(n: int) -> str:
+        if d == SPARK:
+            spans = (f"transform(sequence(1, greatest(size({words}) - "
+                     f"{n - 1}, 1)), i -> concat_ws(' ', "
+                     f"slice({words}, i, {n})))")
+            src = (f"SELECT doc_id, gram FROM pages "
+                   f"LATERAL VIEW explode({spans}) t AS gram")
+        else:
+            spans = (f"list_transform(generate_series(1, "
+                     f"greatest(len({words}) - {n - 1}, 1)), "
+                     f"i -> array_to_string({words}[i:i+{n - 1}], ' '))")
+            src = f"SELECT doc_id, unnest({spans}) AS gram FROM pages"
+        return (f"SELECT doc_id, gram, count(*) AS c FROM ({src}) g "
+                f"WHERE length(gram) - length(replace(gram, ' ', '')) "
+                f"= {n - 1} GROUP BY doc_id, gram")
+
+    def top(n: int) -> str:
+        return f"""top{n} AS (
+  SELECT doc_id, c * length(gram) AS chars FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, gram) AS rk
+    FROM ({grams(n)}) cnt{n}) r
+  WHERE rk = 1)"""
+
+    fr = ("round(coalesce({src}.chars, 0) * 1e0 / "
+          "greatest(length(p.text), 1), 4)")
+    f2, f3, f4 = (fr.format(src=f"top{n}") for n in (2, 3, 4))
+    f5 = ("round(coalesce(dup5.chars, 0) * 1e0 / "
+          "greatest(length(p.text), 1), 4)")
+    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} pp),
+{top(2)},
+{top(3)},
+{top(4)},
+dup5 AS (
+  SELECT doc_id, cast(sum(c * length(gram)) AS bigint) AS chars
+  FROM ({grams(5)}) cnt5 WHERE c > 1 GROUP BY doc_id)
+SELECT p.doc_id,
+       {f2} AS top2_frac, {f3} AS top3_frac, {f4} AS top4_frac,
+       {f5} AS dup5_frac,
+       ({f2} <= {T['max_top2_frac']} AND {f3} <= {T['max_top3_frac']} AND
+        {f4} <= {T['max_top4_frac']} AND {f5} <= {T['max_dup5_frac']})
+         AS rep_keep
+FROM pages p
+LEFT JOIN top2 ON top2.doc_id = p.doc_id
+LEFT JOIN top3 ON top3.doc_id = p.doc_id
+LEFT JOIN top4 ON top4.doc_id = p.doc_id
+LEFT JOIN dup5 ON dup5.doc_id = p.doc_id"""
+
+
 def q_c4_quality(d: str) -> str:
     """C4 page + line gates (Raffel et al. 2020 sec 2.2) over pages: page
     keep (>=5 sentences, no lorem-ipsum/brace) plus per-page counts of
@@ -1199,6 +1260,7 @@ QUERY_BUILDERS: dict[str, Callable[[str], str]] = {
     "repeat_buyers": q_repeat_buyers,
     "url_normalize": q_url_normalize,
     "gopher_quality": q_gopher_quality,
+    "gopher_repetition": q_gopher_repetition,
     "c4_quality": q_c4_quality,
     "c4_span_dedup": q_c4_span_dedup,
     "quality_signals": q_quality_signals,

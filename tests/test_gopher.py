@@ -115,3 +115,31 @@ def test_c4_span_dedup_module_matches_sql_twin(spark):
     for h, occ in by_hash.items():
         keepers = [(d, i) for d, i, k in occ if k]
         assert keepers == [min((d, i) for d, i, _ in occ)], h
+
+
+def test_gopher_repetition_module_matches_sql_twin(spark):
+    from ccspark import queries as Q
+    from ccspark.fixtures_sql import pages_spark
+    sf = "/root/testdata/sf0.001"
+    pages = pages_spark(spark, sf)
+    mod = {r.doc_id: (r.top2_frac, r.top3_frac, r.top4_frac, r.dup5_frac,
+                      r.rep_keep)
+           for r in quality.gopher_repetition(pages).collect()}
+    Q.ensure_views(spark, sf)
+    sql = {r.doc_id: (r.top2_frac, r.top3_frac, r.top4_frac, r.dup5_frac,
+                      r.rep_keep)
+           for r in spark.sql(Q.q_gopher_repetition(Q.SPARK)).collect()}
+    assert mod == sql
+
+
+def test_gopher_repetition_flags_looping_text(spark):
+    looped = "the same exact phrase again " * 40        # one dominant gram
+    varied = " ".join(f"word{i} token{i * 7 % 13} item{i}"
+                      for i in range(120))
+    df = spark.createDataFrame([Row(doc_id=0, text=looped),
+                                Row(doc_id=1, text=varied)])
+    got = {r.doc_id: r for r in quality.gopher_repetition(df).collect()}
+    assert not got[0].rep_keep
+    assert got[0].top2_frac > 0.2 and got[0].dup5_frac > 0.15
+    assert got[1].rep_keep
+    assert got[1].dup5_frac == 0.0
