@@ -1319,6 +1319,29 @@ def _mq_greedy_domain_chunks(spark, sf_dir):
     return chunker.domain_samples(geo, chunksize=500)
 
 
+def _mq_salted_domain_counts(spark, sf_dir):
+    """Skew handling verified by value: the two-phase SALTED aggregation
+    (skew.salted_counts - hot keys split across salt_n reducers, partials
+    merged) must produce byte-identical counts to a plain GROUP BY, which
+    is exactly what the DuckDB oracle runs."""
+    from pyspark.sql import functions as F
+
+    from ccspark import pipeline, skew
+    from ccspark.fixtures_sql import pages_spark
+    pages = pages_spark(spark, sf_dir)
+    geo_pages = pipeline.with_geo(pages)
+    out = skew.salted_counts(geo_pages, ["domain"], salt_n=16,
+                             count_col="n_pages")
+    return out.select("domain", F.col("n_pages").cast("long")
+                      .alias("n_pages"))
+
+
+def _salted_counts_oracle() -> str:
+    return f"""WITH {geo_pages_cte(DUCK)}
+SELECT domain, cast(count(*) AS bigint) AS n_pages
+FROM geo_pages GROUP BY domain"""
+
+
 def _mq_greedy_domain_totals(spark, sf_dir):
     """Aggregate-invariant check for the greedy chunker: runs the REAL
     applyInPandas accumulator, then aggregates per-domain word totals -
@@ -1453,6 +1476,7 @@ MODULE_QUERIES = {
     "training_corpus": _mq_training_corpus,
     "greedy_domain_chunks": _mq_greedy_domain_chunks,
     "greedy_domain_totals": _mq_greedy_domain_totals,
+    "salted_domain_counts": _mq_salted_domain_counts,
     "lid_ngram": _mq_lid_ngram,
     "ivf_ann": _mq_ivf_ann,
     "ivf_recall": _mq_ivf_recall,
@@ -1466,6 +1490,7 @@ MODULE_QUERIES = {
 MODULE_ORACLES = {
     "training_corpus": q_training_corpus(DUCK),
     "greedy_domain_totals": q_greedy_domain_totals(DUCK),
+    "salted_domain_counts": _salted_counts_oracle(),
     "ivf_recall": _IVF_RECALL_ORACLE,
     "pq_recall": _PQ_RECALL_ORACLE,
 }
