@@ -124,3 +124,27 @@ def make_wet_bytes(records, gzip_out: bool = False,
              text.encode("utf-8"))
     data = bytes(out)
     return _gzip.compress(data) if gzip_out else data
+
+
+def segment_manifest(spark: SparkSession, paths_file: str) -> DataFrame:
+    """S1 (cc_corpus.py:321-334): the crawl's ``wet.paths(.gz)`` manifest
+    as a DataFrame of work units.  The public manifest format is one
+    segment path per line:
+
+        crawl-data/CC-MAIN-2022-40/segments/<seg>/wet/<file>.warc.wet.gz
+
+    Parsed into (crawl, segment, filename, path) so a driver can
+    partition-prune by crawl/segment (the unit of resume in
+    ccspark.checkpoint) and distribute reads one-task-per-segment-file -
+    the reference's ThreadPool(8) downloader becomes Spark task
+    scheduling over this table."""
+    from pyspark.sql import functions as F
+    lines = spark.read.text(paths_file).withColumnRenamed("value", "path")
+    lines = lines.where(F.length(F.trim("path")) > 0) \
+                 .withColumn("path", F.trim("path"))
+    return lines.select(
+        F.regexp_extract("path", r"crawl-data/([^/]+)/", 1).alias("crawl"),
+        F.regexp_extract("path", r"segments/([^/]+)/", 1).alias("segment"),
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
+        "path",
+    )

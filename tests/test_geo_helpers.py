@@ -107,3 +107,19 @@ def test_normalize_url_expr_both_dialects(spark, duck):
     for u, want in URL_NORM_CASES.items():
         assert got_d[u] == want, ("duck", u, got_d[u])
         assert got_s[u] == want, ("spark", u, got_s[u])
+
+
+def test_normalize_url_is_idempotent(duck):
+    """norm(norm(u)) == norm(u) - normalized URLs are fixed points, so
+    re-running the canonicalizer over already-clean data is a no-op."""
+    urls = list(URL_NORM_CASES) + [
+        "https://a.b/c?x=1&utm_source=s&y=2#z",
+        "http://H.DE:80/", "https://h.de", "no scheme at all",
+    ]
+    vals = ", ".join(f"('{u}')" for u in urls)
+    one = geo.normalize_url_expr(DUCK, "u")
+    two = geo.normalize_url_expr(DUCK, f"({one})")
+    rows = duck.sql(f"SELECT {one}, {two} FROM (VALUES {vals}) t(u)") \
+        .fetchall()
+    for a, b in rows:
+        assert a == b, (a, b)

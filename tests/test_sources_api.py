@@ -148,3 +148,27 @@ def test_build_training_corpus_composite(spark):
         pages, gopher=False, c4=False, scrub_pii=False).collect()
     assert {r.url for r in out_all} >= {"https://www.good.de/a",
                                         "https://www.lorem.de/c"}
+
+
+def test_segment_manifest_parses_wet_paths(spark, tmp_path):
+    """S1: the public wet.paths manifest format -> prunable work units."""
+    paths = "\n".join([
+        "crawl-data/CC-MAIN-2022-40/segments/1664030336674.94/wet/"
+        "CC-MAIN-20221001132802-20221001162802-00000.warc.wet.gz",
+        "crawl-data/CC-MAIN-2022-40/segments/1664030336674.94/wet/"
+        "CC-MAIN-20221001132802-20221001162802-00001.warc.wet.gz",
+        "crawl-data/CC-MAIN-2023-06/segments/1674764494826.88/wet/"
+        "CC-MAIN-20230206105004-20230206135004-00000.warc.wet.gz",
+        "",
+    ])
+    f = tmp_path / "wet.paths"
+    f.write_text(paths)
+    from ccspark import sources
+    m = sources.segment_manifest(spark, str(f))
+    rows = m.collect()
+    assert len(rows) == 3
+    assert {r.crawl for r in rows} == {"CC-MAIN-2022-40", "CC-MAIN-2023-06"}
+    one = m.where("crawl = 'CC-MAIN-2023-06'").collect()
+    assert len(one) == 1
+    assert one[0].segment == "1674764494826.88"
+    assert one[0].filename.endswith("00000.warc.wet.gz")
