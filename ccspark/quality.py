@@ -297,8 +297,11 @@ GOPHER_REP_THRESHOLDS = dict(
 def gopher_repetition(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       thresholds: dict | None = None) -> DataFrame:
-    """Per-doc repetition signals + ``rep_keep``.  DataFrame twin of the
-    oracled SQL template (queries.q_gopher_repetition) - asserted equal in
+    """Per-doc repetition signals + ``rep_keep``.  All gram sizes ride ONE
+    tagged union -> one count shuffle on (doc, n, gram), one window on
+    (doc, n), one pivot - instead of a per-n explode/aggregate/join chain
+    (8 exchanges -> 4).  DataFrame twin of the oracled SQL template
+    (queries.q_gopher_repetition) - asserted equal in
     tests/test_gopher.py."""
     from pyspark.sql.window import Window
     t = dict(GOPHER_REP_THRESHOLDS, **(thresholds or {}))
@@ -306,32 +309,29 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text",
                        F.col(text_col).alias("text"))
     words = "filter(split(text, '\\\\s+'), x -> x != '')"
 
-    def gram_counts(n):
+    def gram_df(n):
         spans = (f"transform(sequence(1, greatest(size({words}) - {n - 1},"
                  f" 1)), i -> concat_ws(' ', slice({words}, i, {n})))")
-        g = base.select("doc_id", F.explode(F.expr(spans)).alias("gram"))
-        g = g.where(F.length("gram") - F.length(
+        g = base.select("doc_id", F.lit(n).alias("n"),
+                        F.explode(F.expr(spans)).alias("gram"))
+        return g.where(F.length("gram") - F.length(
             F.regexp_replace("gram", " ", "")) == n - 1)
-        return g.groupBy("doc_id", "gram").count()
 
-    def top_frac(n):
-        c = gram_counts(n)
-        w = Window.partitionBy("doc_id").orderBy(
-            F.desc("count"), "gram")
-        return (c.withColumn("rk", F.row_number().over(w))
-                .where("rk = 1")
-                .select("doc_id",
-                        (F.col("count") * F.length("gram"))
-                        .alias(f"top{n}_chars")))
-
-    dup5 = (gram_counts(5).where("count > 1")
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("count") * F.length("gram"))
-                 .alias("dup5_chars")))
-    out = base.select("doc_id", F.length("text").alias("_len"))
-    for n in (2, 3, 4):
-        out = out.join(top_frac(n), "doc_id", "left")
-    out = out.join(dup5, "doc_id", "left")
+    grams = gram_df(2)
+    for n in (3, 4, 5):
+        grams = grams.unionByName(gram_df(n))
+    cnt = (grams.groupBy("doc_id", "n", "gram").count()
+           .withColumn("chars", F.col("count") * F.length("gram")))
+    w = Window.partitionBy("doc_id", "n").orderBy(F.desc("count"), "gram")
+    top = (cnt.where("n <= 4")
+           .withColumn("rk", F.row_number().over(w)).where("rk = 1")
+           .groupBy("doc_id")
+           .agg(*[F.max(F.when(F.col("n") == n, F.col("chars")))
+                  .alias(f"top{n}_chars") for n in (2, 3, 4)]))
+    dup5 = (cnt.where("n = 5 AND count > 1")
+            .groupBy("doc_id").agg(F.sum("chars").alias("dup5_chars")))
+    out = (base.select("doc_id", F.length("text").alias("_len"))
+           .join(top, "doc_id", "left").join(dup5, "doc_id", "left"))
     cols = {"top2_frac": "top2_chars", "top3_frac": "top3_chars",
             "top4_frac": "top4_chars", "dup5_frac": "dup5_chars"}
     for frac, chars in cols.items():

@@ -384,8 +384,10 @@ def q_gopher_repetition(d: str) -> str:
     """Gopher repetition panel part 2 (table A1 rows 8-13): character
     fraction of the MOST COMMON word {2,3,4}-gram and of DUPLICATED word
     5-grams per document, with the keep verdict.  SQL twin of
-    quality.gopher_repetition (asserted equal in tests/test_gopher.py);
-    per-(doc, gram) counts are the one shuffle."""
+    quality.gopher_repetition (asserted equal in tests/test_gopher.py).
+    All gram sizes ride ONE tagged union - one count shuffle on
+    (doc, n, gram), one window on (doc, n), one pivot - instead of a
+    per-n explode/aggregate/join chain."""
     from ccspark.quality import GOPHER_REP_THRESHOLDS as T
     if d == SPARK:
         words = r"filter(split(text, '\\s+'), x -> x != '')"
@@ -397,37 +399,40 @@ def q_gopher_repetition(d: str) -> str:
             spans = (f"transform(sequence(1, greatest(size({words}) - "
                      f"{n - 1}, 1)), i -> concat_ws(' ', "
                      f"slice({words}, i, {n})))")
-            src = (f"SELECT doc_id, gram FROM pages "
-                   f"LATERAL VIEW explode({spans}) t AS gram")
-        else:
-            spans = (f"list_transform(generate_series(1, "
-                     f"greatest(len({words}) - {n - 1}, 1)), "
-                     f"i -> array_to_string({words}[i:i+{n - 1}], ' '))")
-            src = f"SELECT doc_id, unnest({spans}) AS gram FROM pages"
-        return (f"SELECT doc_id, gram, count(*) AS c FROM ({src}) g "
-                f"WHERE length(gram) - length(replace(gram, ' ', '')) "
-                f"= {n - 1} GROUP BY doc_id, gram")
+            return (f"SELECT doc_id, {n} AS n, gram FROM pages "
+                    f"LATERAL VIEW explode({spans}) t AS gram")
+        spans = (f"list_transform(generate_series(1, "
+                 f"greatest(len({words}) - {n - 1}, 1)), "
+                 f"i -> array_to_string({words}[i:i+{n - 1}], ' '))")
+        return f"SELECT doc_id, {n} AS n, unnest({spans}) AS gram FROM pages"
 
-    def top(n: int) -> str:
-        return f"""top{n} AS (
-  SELECT doc_id, c * length(gram) AS chars FROM (
-    SELECT *, row_number() OVER (PARTITION BY doc_id
-                                 ORDER BY c DESC, gram) AS rk
-    FROM ({grams(n)}) cnt{n}) r
-  WHERE rk = 1)"""
-
-    fr = ("round(coalesce({src}.chars, 0) * 1e0 / "
-          "greatest(length(p.text), 1), 4)")
-    f2, f3, f4 = (fr.format(src=f"top{n}") for n in (2, 3, 4))
-    f5 = ("round(coalesce(dup5.chars, 0) * 1e0 / "
-          "greatest(length(p.text), 1), 4)")
+    union = "\n  UNION ALL ".join(grams(n) for n in (2, 3, 4, 5))
+    fr = ("round(coalesce({c}, 0) * 1e0 / greatest(length(p.text), 1), 4)")
+    f2, f3, f4 = (fr.format(c=f"t.top{n}_chars") for n in (2, 3, 4))
+    f5 = fr.format(c="d.dup5_chars")
     return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} pp),
-{top(2)},
-{top(3)},
-{top(4)},
-dup5 AS (
-  SELECT doc_id, cast(sum(c * length(gram)) AS bigint) AS chars
-  FROM ({grams(5)}) cnt5 WHERE c > 1 GROUP BY doc_id)
+grams AS ({union}),
+cnt AS (
+  SELECT doc_id, n, gram, count(*) AS c,
+         count(*) * length(gram) AS chars
+  FROM grams
+  WHERE length(gram) - length(replace(gram, ' ', '')) = n - 1
+  GROUP BY doc_id, n, gram
+),
+tops AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN chars END) AS top2_chars,
+         max(CASE WHEN n = 3 THEN chars END) AS top3_chars,
+         max(CASE WHEN n = 4 THEN chars END) AS top4_chars
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                     ORDER BY c DESC, gram) AS rk
+        FROM cnt WHERE n <= 4) r
+  WHERE rk = 1 GROUP BY doc_id
+),
+dups AS (
+  SELECT doc_id, cast(sum(chars) AS bigint) AS dup5_chars
+  FROM cnt WHERE n = 5 AND c > 1 GROUP BY doc_id
+)
 SELECT p.doc_id,
        {f2} AS top2_frac, {f3} AS top3_frac, {f4} AS top4_frac,
        {f5} AS dup5_frac,
@@ -435,10 +440,8 @@ SELECT p.doc_id,
         {f4} <= {T['max_top4_frac']} AND {f5} <= {T['max_dup5_frac']})
          AS rep_keep
 FROM pages p
-LEFT JOIN top2 ON top2.doc_id = p.doc_id
-LEFT JOIN top3 ON top3.doc_id = p.doc_id
-LEFT JOIN top4 ON top4.doc_id = p.doc_id
-LEFT JOIN dup5 ON dup5.doc_id = p.doc_id"""
+LEFT JOIN tops t ON t.doc_id = p.doc_id
+LEFT JOIN dups d ON d.doc_id = p.doc_id"""
 
 
 def q_c4_quality(d: str) -> str:

@@ -44,6 +44,15 @@ def main() -> None:
         "ordinal -> map-side-combining hash-agg dedup. `html`/`warc_ts` "
         "pruned from the scan (ReadSchema).\n")
 
+    from ccspark.api import CCSparkCorpus
+    add("Training-corpus composite (production facade)",
+        CCSparkCorpus(spark).build_training_corpus(
+            pages, gopher_thresholds=Q.TRAINING_GOPHER_TH),
+        "Gopher+C4 document gates execute BELOW the Generate (whole-page "
+        "pruning before the row blow-up - asserted in "
+        "tests/test_plan_shape.py), then the flagship plan + scrub "
+        "projection. Same two-shuffle budget as the plain pipeline.\n")
+
     for name, note in (
         ("corpus_lines", "Pure-SQL rendering of the same pipeline (the "
                          "DuckDB-oracle twin)."),
@@ -51,7 +60,22 @@ def main() -> None:
                           "columns; band digests unioned; self-join on "
                           "(band, digest)."),
         ("cell_metrics", "Partial-aggregated metrics rollup."),
-        ("knn_cosine", "Broadcast query set over the embeddings scan."),
+        ("knn_cosine", "Broadcast query set over the embeddings scan "
+                       "(BuildLeft on the filtered 3-row query set)."),
+        ("gopher_quality", "Doc-level quality gate: ONE projection, array "
+                           "higher-order functions, zero exchanges - the "
+                           "filter composes with any scan at 100TB."),
+        ("gopher_repetition", "Per-(doc, gram) counting is the one "
+                              "shuffle; the three top-gram windows and "
+                              "the dup aggregation ride the same "
+                              "partitioning."),
+        ("c4_span_dedup", "Global 3-sentence-span keep-first: explode -> "
+                          "hash -> window on the span hash."),
+        ("word_ngrams", "Single shuffle on (lang, gram); rank window "
+                        "rides the same partitioning."),
+        ("lid_ngram_sql", "NB LID train+score as one statement (oracle "
+                          "twin; production serving is the Iterator "
+                          "pandas UDF, see BENCH lid_predict)."),
     ):
         add(f"query: {name}",
             spark.sql(Q.QUERY_BUILDERS[name](SPARK)), note)
