@@ -107,15 +107,17 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4,
     by the band digest, emit candidate pairs sharing any bucket."""
     mcols = [c for c in sig.columns if c.startswith("m")]
     rows_per_band = max(1, len(mcols) // bands)
-    digests = None
+    # ONE posexplode of the per-band digest array instead of a bands-way
+    # union: the union re-plans (and re-shuffles) the signature aggregate
+    # once per band; the explode computes it once per join side
+    band_digests = []
     for bi in range(bands):
         cols = mcols[bi * rows_per_band:(bi + 1) * rows_per_band]
-        if not cols:
-            break
-        part = sig.select(
-            id_col, F.lit(bi).alias("band"),
-            F.md5(F.concat_ws(",", *cols)).alias("digest"))
-        digests = part if digests is None else digests.unionByName(part)
+        if cols:
+            band_digests.append(F.md5(F.concat_ws(",", *cols)))
+    digests = sig.select(
+        id_col, F.posexplode(F.array(*band_digests))
+        .alias("band", "digest"))
     a, b = digests.alias("a"), digests.alias("b")
     return (
         a.join(b, ["band", "digest"])

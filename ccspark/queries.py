@@ -827,9 +827,16 @@ def q_minhash_pairs(d: str) -> str:
         for i, (a, b) in enumerate(AB))
     digest = lambda lo: ("md5(concat(" + ", ".join(
         f"m{j}, ','" for j in range(lo, lo + 3)) + "))")
-    bands = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {bi} AS band, {digest(bi * 3)} AS digest FROM sig"
-        for bi in range(4))
+    # ONE explode of the 4-digest array (a 4-way UNION would re-plan the
+    # signature aggregate once per band per join side - 8 recomputations)
+    arr = "array(" + ", ".join(digest(bi * 3) for bi in range(4)) + ")"
+    if d == SPARK:
+        bands = (f"SELECT doc_id, band, digest FROM sig "
+                 f"LATERAL VIEW posexplode({arr}) t AS band, digest")
+    else:
+        arr_d = "[" + ", ".join(digest(bi * 3) for bi in range(4)) + "]"
+        bands = (f"SELECT doc_id, generate_subscripts({arr_d}, 1) - 1 "
+                 f"AS band, unnest({arr_d}) AS digest FROM sig")
     agree = " + ".join(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(12))
     return f"""WITH hashed AS (

@@ -230,3 +230,28 @@ def test_blocklist_terms_are_literals_not_patterns(spark):
     bl = spark.createDataFrame([Row(term="c++"), Row(term="evil(term)")])
     kept = {r.doc_id for r in scrub.blocklist_filter(df, bl).collect()}
     assert kept == {1, 3}
+
+
+def test_minhash_near_dups_module(spark):
+    """The module path (shingles -> wide signature -> explode-banded LSH
+    -> jaccard estimate): near-identical docs pair up, unrelated docs
+    don't, and banding emits exactly `bands` rows per doc."""
+    from ccspark import dedup
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the deep green forest before nightfall today")
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base.replace("today", "tomorrow")),  # near-dup
+        Row(doc_id=2, text=" ".join(f"token{i}" for i in range(40))),
+    ])
+    pairs = dedup.minhash_near_dups(docs).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (0, 1) in got
+    assert not any(2 in p for p in got)
+    est = {(r.doc_a, r.doc_b): r.jaccard_est for r in pairs}
+    assert est[(0, 1)] >= 0.5
+    # explode-based banding: bands rows per doc, bands distinct band ids
+    sh = dedup.shingles(docs)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    cand = dedup.lsh_candidate_pairs(sig, bands=4)
+    assert {(r.doc_a, r.doc_b) for r in cand.collect()} >= {(0, 1)}
