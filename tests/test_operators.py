@@ -255,3 +255,28 @@ def test_minhash_near_dups_module(spark):
     sig = dedup.minhash_signatures(sh, num_hashes=16)
     cand = dedup.lsh_candidate_pairs(sig, bands=4)
     assert {(r.doc_a, r.doc_b) for r in cand.collect()} >= {(0, 1)}
+
+
+def test_simhash_and_ngram_jaccard_modules(spark):
+    """Module paths for D5's other members: identical docs share a
+    simhash fingerprint and score jaccard 1.0; near-dups differ in few
+    bits; unrelated docs' jaccard is 0 (no pair emitted)."""
+    from ccspark import dedup
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the deep green forest before nightfall today")
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base),                               # exact dup
+        Row(doc_id=2, text=base.replace("today", "tomorrow")),  # near-dup
+        Row(doc_id=3, text=" ".join(f"tok{i}" for i in range(40))),
+    ])
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert fp[0] == fp[1]
+    hamming = bin(fp[0] ^ fp[2]).count("1")
+    assert hamming <= 6, hamming
+    assert bin(fp[0] ^ fp[3]).count("1") > hamming
+    jac = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    assert jac[(0, 1)] == 1.0
+    assert 0.5 <= jac[(0, 2)] < 1.0
+    assert (0, 3) not in jac and (1, 3) not in jac
