@@ -505,6 +505,26 @@ ranked AS (
 SELECT doc_id, span_idx, span_hash, (rk = 1) AS keep FROM ranked"""
 
 
+def q_html_extract(d: str) -> str:
+    """HTML -> visible-text extraction (sources.html_to_text_expr): wraps
+    every fixture page in a realistic HTML shell (head with title, style
+    and script blocks, comments, block tags, entities) and extracts -
+    value-hashed cross-engine over every page.  The exact
+    visible-text-equality invariant on controlled markup lives in
+    tests/test_sources_api.py (fixture page text itself contains inline
+    tags, which the extractor correctly strips)."""
+    from ccspark.sources import html_to_text_expr
+    mk = ("'<html><head><title>t</title><style>p{color:red}</style>"
+          "<script>if (1 < 2) { x(); }</script></head><body>"
+          "<!-- boilerplate --><h1>Head &amp; Line</h1><p>' || "
+          "replace(text, chr(10), '</p><p>') || "
+          "'</p><div>tail &#39;q&#39;</div></body></html>'")
+    extract = html_to_text_expr(d, "html")
+    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p),
+wrapped AS (SELECT doc_id, text, {mk} AS html FROM pages)
+SELECT doc_id, {extract} AS extracted FROM wrapped"""
+
+
 def q_url_normalize(d: str) -> str:
     """D3 with canonicalization: crawl URL variants (tracking params,
     fragments, scheme/host case, trailing slash) must collapse to one
@@ -1269,6 +1289,7 @@ QUERY_BUILDERS: dict[str, Callable[[str], str]] = {
     "word_ngrams": q_word_ngrams,
     "repeat_buyers": q_repeat_buyers,
     "url_normalize": q_url_normalize,
+    "html_extract": q_html_extract,
     "gopher_quality": q_gopher_quality,
     "gopher_repetition": q_gopher_repetition,
     "c4_quality": q_c4_quality,

@@ -148,3 +148,30 @@ def segment_manifest(spark: SparkSession, paths_file: str) -> DataFrame:
         F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
         "path",
     )
+
+
+def html_to_text_expr(d: str, col: str) -> str:
+    """HTML -> visible text as a pure expression chain (the WET 'conversion'
+    step for pipelines that ingest raw HTML instead of WET): drop
+    script/style/noscript blocks and comments ((?s) dot-matches-newline -
+    Java regex and RE2 both support it), break block-level closers into
+    newlines, strip remaining tags, decode the common entities, collapse
+    horizontal whitespace.  Order matters: blocks before tags, tags before
+    entities (so literal &lt;script&gt; in text never executes as
+    structure)."""
+    from ccspark.sqlgen import rrep
+    e = col
+    for tag in ("script", "style", "noscript", "title"):  # no backrefs in RE2 -
+        e = rrep(d, e, rf"(?is)<{tag}\b.*?</{tag}>", "")   # one per tag
+    e = rrep(d, e, r"(?s)<!--.*?-->", "")
+    e = rrep(d, e, r"(?i)</(p|div|br|li|tr|h[1-6])>", "\n")
+    e = rrep(d, e, r"(?i)<br\s*/?>", "\n")
+    e = rrep(d, e, r"(?s)<[^>]*>", " ")
+    for ent, ch in (("&nbsp;", "' '"), ("&amp;", "'&'"), ("&lt;", "'<'"),
+                    ("&gt;", "'>'"), ("&quot;", "'\"'"), ("&#39;", "chr(39)")):
+        e = f"replace({e}, '{ent}', {ch})"
+    e = rrep(d, e, r"[ \t]+", " ")
+    e = rrep(d, e, r" ?\n ?", "\n")
+    e = rrep(d, e, r"\n{2,}", "\n")
+    e = rrep(d, e, r"^[\s]+|[\s]+$", "")   # trim() leaves \n in both engines
+    return e

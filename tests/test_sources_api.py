@@ -172,3 +172,31 @@ def test_segment_manifest_parses_wet_paths(spark, tmp_path):
     assert len(one) == 1
     assert one[0].segment == "1674764494826.88"
     assert one[0].filename.endswith("00000.warc.wet.gz")
+
+
+def test_html_to_text_extraction(spark, duck):
+    """Visible-text invariant on controlled markup, both dialects:
+    script/style/title/comments vanish, block closers become newlines,
+    entities decode, whitespace collapses."""
+    from ccspark import sources
+    from ccspark.sqlgen import DUCK, SPARK
+    html = ("<html><head><title>ignored</title>"
+            "<style>p { color: red }</style>"
+            "<script>if (1 < 2) { alert('x'); }</script></head>"
+            "<body><!-- nav boilerplate -->"
+            "<h1>Head &amp; Line</h1>"
+            "<p>First   paragraph with &lt;tag&gt; text.</p>"
+            "<div>Second block</div><br>"
+            "it&#39;s a &quot;quote&quot;</body></html>")
+    want = ("Head & Line\nFirst paragraph with <tag> text.\n"
+            "Second block\nit's a \"quote\"")
+    got_d = duck.sql(
+        f"SELECT {sources.html_to_text_expr(DUCK, 'h')} "
+        f"FROM (SELECT ? AS h)", params=[html]).fetchone()[0]
+    assert got_d == want, repr(got_d)
+    spark.createDataFrame([(html,)], "h string") \
+        .createOrReplaceTempView("html_rows")
+    got_s = spark.sql(
+        f"SELECT {sources.html_to_text_expr(SPARK, 'h')} AS t "
+        f"FROM html_rows").collect()[0].t
+    assert got_s == want, repr(got_s)
