@@ -26,13 +26,19 @@ from ccspark import pipeline
 
 def stream_corpus_build(spark: SparkSession, in_dir: str, out_dir: str,
                         checkpoint_dir: str, schema: str | None = None,
-                        dedup_watermark: str | None = None):
+                        dedup_watermark: str | None = None,
+                        dedup: bool = True):
     """Run the corpus pipeline incrementally over a parquet file source;
     returns the finished StreamingQuery (AvailableNow: drains + stops).
     *dedup_watermark* (e.g. '24 hours') switches the streaming dedup to
     dropDuplicatesWithinWatermark - bounded state, the only shape that
     survives an unbounded crawl stream; None keeps the exact
-    (state-unbounded) dropDuplicates for finite backlogs."""
+    (state-unbounded) dropDuplicates for finite backlogs.  *dedup=False*
+    streams every kept line through (zero dedup state) and defers the
+    global keep-first to compact_stream_output, whose deterministic
+    (url, line_id) tie-break then reproduces the batch pipeline EXACTLY -
+    stream-side dedup keeps whichever copy arrives first, which is cheaper
+    but arrival-order-dependent."""
     reader = spark.readStream
     if schema is None:
         static = spark.read.parquet(in_dir)
@@ -47,7 +53,9 @@ def stream_corpus_build(spark: SparkSession, in_dir: str, out_dir: str,
     df = (df.withColumn("hash", F.xxhash64("text"))
             .select("domain", "tld", "country", "region", "url",
                     "pos", "text", "hash"))
-    if dedup_watermark is not None:
+    if not dedup:
+        pass
+    elif dedup_watermark is not None:
         # bounded-state dedup: at crawl scale the exact streaming
         # dropDuplicates keeps EVERY hash in the state store forever; a
         # watermark on ingestion time lets the store expire hashes older
@@ -169,3 +177,19 @@ def windowed_event_counts(spark: SparkSession, events: DataFrame,
                 F.col("w.end").alias("window_end"),
                 "event_type", "n_events", "total_value")
     )
+
+
+def compact_stream_output(spark: SparkSession, stream_dir: str) -> DataFrame:
+    """The batch compactor the stream docstring promises: stream output
+    rows (url, pos, text, ...) get their per-page kept-line ordinal (a
+    window - not stream-computable) and a final global keep-first dedup,
+    yielding exactly the batch pipeline's corpus_lines schema.  Run it
+    over the streaming sink periodically (or as the Iceberg maintenance
+    job); stream + compactor == batch pipeline is asserted in tests."""
+    df = spark.read.parquet(stream_dir)
+    df = pipeline.number_and_hash(df)
+    cols = ["domain", "tld", "country", "region", "url",
+            "line_id", "text", "hash"]
+    if "lang" in df.columns:
+        cols.insert(4, "lang")
+    return pipeline.dedup_keep_first(df.select(*cols))

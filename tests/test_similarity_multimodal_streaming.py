@@ -321,3 +321,31 @@ def test_stateful_user_totals_across_microbatches(spark, tmp_path):
     # more than one snapshot with increasing counts
     multi = (got.groupBy("user_id").count().where(F.col("count") > 1))
     assert multi.count() > 0
+
+
+def test_stream_plus_compactor_equals_batch_pipeline(spark, tmp_path):
+    """The incremental path end-to-end.  dedup=False stream (defer dedup
+    to the compactor's deterministic tie-break) must equal the one-shot
+    batch pipeline EXACTLY; a stream-deduped sink (arrival-order
+    keep-first) must still yield the identical distinct-text set."""
+    from ccspark import pipeline
+    src = pages_spark(spark, "/root/testdata/sf0.001")
+    in_dir = str(tmp_path / "pages")
+    src.write.parquet(in_dir)
+    batch = pipeline.corpus_lines(spark.read.parquet(in_dir))
+    b = sorted((r.url, r.line_id, r.text) for r in batch.collect())
+
+    out = str(tmp_path / "out")
+    streaming.stream_corpus_build(spark, in_dir, out, str(tmp_path / "ck"),
+                                  dedup=False)
+    compacted = streaming.compact_stream_output(spark, out)
+    a = sorted((r.url, r.line_id, r.text) for r in compacted.collect())
+    assert a == b and len(a) > 0
+
+    out2 = str(tmp_path / "out2")
+    streaming.stream_corpus_build(spark, in_dir, out2,
+                                  str(tmp_path / "ck2"),
+                                  dedup_watermark="24 hours")
+    c2 = streaming.compact_stream_output(spark, out2)
+    assert sorted(r.text for r in c2.collect()) == sorted(
+        r.text for r in batch.collect())
