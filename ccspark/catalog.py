@@ -85,3 +85,20 @@ class Warehouse:
         if self.is_iceberg:
             return self.spark.read.table(f"{self.catalog}.{table}")
         return self.spark.read.parquet(self._path(table))
+
+
+def save_bucketed(spark: SparkSession, df: DataFrame, table: str,
+                  bucket_col: str, n_buckets: int = 16,
+                  sort_col: str | None = None) -> None:
+    """Bucketed managed table (Hive-style bucketBy; Iceberg's
+    bucket(N, col) partition transform on a real catalog): co-locates rows
+    by hash(bucket_col) at WRITE time so joins and aggregations on that
+    key read pre-shuffled data - the exchange disappears from every
+    downstream join between tables bucketed the same way (asserted in
+    tests/test_catalog.py).  At crawl scale: bucket corpus lines and their
+    side tables by url/domain once, join shuffle-free forever after."""
+    w = df.write.mode("overwrite").format("parquet") \
+        .bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

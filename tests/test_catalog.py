@@ -42,3 +42,33 @@ def test_append(spark, tmp_path):
     wh.append(df, "t3")
     wh.append(df, "t3")
     assert wh.read_table("t3").count() == 2
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must join with ZERO shuffle
+    exchanges (the write pre-shuffled them) - the co-located-join shape
+    that amortizes one shuffle across every future join at 100TB."""
+    import re
+
+    from pyspark.sql import Row
+
+    from ccspark import catalog as cat
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, domain=f"d{i % 7}", n_words=i * 10)
+         for i in range(200)])
+    stats = spark.createDataFrame(
+        [Row(doc_id=i, score=round(i * 0.5, 1)) for i in range(200)])
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_stats")
+    cat.save_bucketed(spark, docs, "b_docs", "doc_id", n_buckets=8)
+    cat.save_bucketed(spark, stats, "b_stats", "doc_id", n_buckets=8)
+    j = spark.table("b_docs").join(spark.table("b_stats"), "doc_id")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert shuffles == 0, plan
+    assert j.count() == 200
+    # and the same join on unbucketed data DOES shuffle (the baseline)
+    j2 = docs.join(stats, "doc_id")
+    plan2 = j2._jdf.queryExecution().executedPlan().toString()
+    assert ("Exchange hashpartitioning" in plan2
+            or "BroadcastHashJoin" in plan2)
