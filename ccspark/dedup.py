@@ -218,3 +218,14 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
             .alias("jaccard"),
         )
     )
+
+
+def incremental_new_rows(new: DataFrame, seen: DataFrame,
+                         key: str = "hash") -> DataFrame:
+    """Cross-crawl incremental dedup: keep only *new* rows whose key never
+    appeared in the historical *seen* table (left_anti on the 8-byte
+    hash).  At warehouse scale, bucket BOTH tables by the key
+    (catalog.save_bucketed) and the anti-join runs shuffle-free; the
+    monthly crawl then costs one scan of itself plus a co-located probe
+    of history, never a re-dedup of the union."""
+    return new.join(seen.select(key).distinct(), key, "left_anti")

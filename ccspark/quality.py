@@ -344,3 +344,25 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text",
             & (F.col("dup5_frac") <= t["max_dup5_frac"]))
     return out.select("doc_id", "top2_frac", "top3_frac", "top4_frac",
                       "dup5_frac", keep.alias("rep_keep"))
+
+
+def domain_quality(pages: DataFrame, text_col: str = "text",
+                   domain_col: str = "domain",
+                   min_keep_frac: float = 0.5) -> DataFrame:
+    """Domain-level quality rollup: per domain, the fraction of its pages
+    passing the Gopher gate plus mean signals - drop whole domains whose
+    keep fraction is below *min_keep_frac* (spam farms fail wholesale, so
+    judging the domain once beats re-judging each of its million pages).
+    One scan + one aggregation; join the survivors back as a broadcast or
+    bucketed gate."""
+    g = gopher_quality(pages, text_col)
+    return (g.groupBy(domain_col)
+            .agg(F.count("*").alias("n_pages"),
+                 F.round(F.avg(F.col("gopher_keep").cast("double")), 4)
+                 .alias("keep_frac"),
+                 F.round(F.avg("mean_word_len"), 4)
+                 .alias("avg_word_len"),
+                 F.round(F.avg("dup_line_frac"), 4)
+                 .alias("avg_dup_line_frac"))
+            .withColumn("domain_keep",
+                        F.col("keep_frac") >= min_keep_frac))

@@ -1473,6 +1473,66 @@ _PQ_RECALL_ORACLE = ("SELECT cast(NULL AS bigint) AS query_id, "
                      "cast(NULL AS double) AS recall WHERE false")
 
 
+def _mq_incremental_dedup(spark, sf_dir):
+    """Cross-crawl incremental dedup: 'new crawl' = docs 250..499 plus a
+    replay of docs 0..49 (the re-fetched pages every real crawl contains);
+    'history' = docs 0..249.  dedup.incremental_new_rows must keep exactly
+    the genuinely-new rows - the oracle recomputes the anti-join in SQL."""
+    from pyspark.sql import functions as F
+
+    from ccspark import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.where("doc_id < 250").select(F.md5("text").alias("hash"))
+    new = (docs.where("doc_id >= 250")
+           .unionByName(docs.where("doc_id < 50"))
+           .select("doc_id", F.md5("text").alias("hash")))
+    out = dedup.incremental_new_rows(new, hist, key="hash")
+    return out.select("doc_id", "hash")
+
+
+_INCREMENTAL_DEDUP_ORACLE = """WITH hist AS (
+  SELECT DISTINCT md5(text) AS hash FROM documents WHERE doc_id < 250
+),
+new_rows AS (
+  SELECT doc_id, md5(text) AS hash FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id, md5(text) AS hash FROM documents WHERE doc_id < 50
+)
+SELECT n.doc_id, n.hash FROM new_rows n
+WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.hash = n.hash)"""
+
+
+def _mq_domain_quality(spark, sf_dir):
+    """Domain-level quality rollup (quality.domain_quality over the REAL
+    gopher_quality operator): per-domain page counts, gopher keep
+    fraction, mean signals, and the wholesale domain verdict - the oracle
+    recomputes the rollup from the shared signal fragments in SQL."""
+    from ccspark import pipeline, quality
+    from ccspark.fixtures_sql import pages_spark
+    pages = pages_spark(spark, sf_dir)
+    geo_pages = pipeline.with_geo(pages)
+    return quality.domain_quality(geo_pages, min_keep_frac=0.5)
+
+
+def _domain_quality_oracle() -> str:
+    from ccspark.quality import gopher_keep_expr, gopher_signal_exprs
+    s = gopher_signal_exprs(DUCK, "text")
+    keep = gopher_keep_expr(DUCK, "text")
+    return f"""WITH {geo_pages_cte(DUCK)},
+sig AS (
+  SELECT domain, {s['mean_word_len']} AS mwl,
+         {s['dup_line_frac']} AS dlf,
+         (CASE WHEN {keep} THEN 1e0 ELSE 0e0 END) AS kept
+  FROM geo_pages
+)
+SELECT domain, cast(count(*) AS bigint) AS n_pages,
+       round(avg(kept), 4) AS keep_frac,
+       round(avg(mwl), 4) AS avg_word_len,
+       round(avg(dlf), 4) AS avg_dup_line_frac,
+       (round(avg(kept), 4) >= 0.5) AS domain_keep
+FROM sig GROUP BY domain"""
+
+
 def _mq_lid_ngram(spark, sf_dir):
     """M1: trainable char-n-gram LID served via Iterator pandas UDF
     (deterministic: seeded counts, pinned vocab order)."""
@@ -1508,6 +1568,8 @@ MODULE_QUERIES = {
     "greedy_domain_chunks": _mq_greedy_domain_chunks,
     "greedy_domain_totals": _mq_greedy_domain_totals,
     "salted_domain_counts": _mq_salted_domain_counts,
+    "incremental_dedup": _mq_incremental_dedup,
+    "domain_quality": _mq_domain_quality,
     "lid_ngram": _mq_lid_ngram,
     "ivf_ann": _mq_ivf_ann,
     "ivf_recall": _mq_ivf_recall,
@@ -1522,6 +1584,8 @@ MODULE_ORACLES = {
     "training_corpus": q_training_corpus(DUCK),
     "greedy_domain_totals": q_greedy_domain_totals(DUCK),
     "salted_domain_counts": _salted_counts_oracle(),
+    "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
+    "domain_quality": _domain_quality_oracle(),
     "ivf_recall": _IVF_RECALL_ORACLE,
     "pq_recall": _PQ_RECALL_ORACLE,
 }
