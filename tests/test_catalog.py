@@ -58,8 +58,14 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
          for i in range(200)])
     stats = spark.createDataFrame(
         [Row(doc_id=i, score=round(i * 0.5, 1)) for i in range(200)])
-    spark.sql("DROP TABLE IF EXISTS b_docs")
-    spark.sql("DROP TABLE IF EXISTS b_stats")
+    import shutil
+    warehouse = spark.conf.get("spark.sql.warehouse.dir") \
+        .replace("file:", "")
+    for t in ("b_docs", "b_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a table dir orphaned by a previous session survives DROP TABLE
+        # (the in-memory catalog forgot it) and blocks CREATE
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     cat.save_bucketed(spark, docs, "b_docs", "doc_id", n_buckets=8)
     cat.save_bucketed(spark, stats, "b_stats", "doc_id", n_buckets=8)
     j = spark.table("b_docs").join(spark.table("b_stats"), "doc_id")
