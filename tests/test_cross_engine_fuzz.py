@@ -1,0 +1,73 @@
+"""Cross-engine fuzz: the dual-dialect expression operators must produce
+IDENTICAL output on adversarial inputs in Spark (Java regex) and DuckDB
+(RE2) - the class of bug the driver gate would only catch if a fixture
+happened to contain the divergent input.  Deterministic seeded corpus,
+batched through ONE query per engine."""
+
+from __future__ import annotations
+
+import random
+
+from ccspark import geo, sources
+from ccspark.sqlgen import DUCK, SPARK
+
+URL_ATOMS = [
+    "http://", "https://", "HTTPS://", "ftp://", "", "user:pw@", "WWW.",
+    "example", ".co.uk", ".de", ".com", ".bd", ".kawasaki.jp", ":8080",
+    ":443", ":80", "/path", "/Path/Case", "/", "?", "?utm_source=x",
+    "&utm_medium=y", "&keep=1", "&gclid=9", "#frag", "#", "..", "a b",
+    "%20", "?&", "&&", "?utm_term=", "xn--bcher-kva",
+]
+
+HTML_ATOMS = [
+    "<p>", "</p>", "<div>", "</div>", "<br>", "<br/>", "<BR >", "text",
+    "more words", "<script>", "</script>", "<script>var x=1<2;</script>",
+    "<style>a{}</style>", "<!-- c -->", "<!--", "-->", "&amp;", "&lt;",
+    "&gt;", "&#39;", "&nbsp;", "&quot;", "<b>bold</b>", "< notatag",
+    ">", "<", "\n", "\t", "  ", "<h1>T</h1>", "<title>t</title>",
+    "<ScRiPt>x</sCrIpT>", "é", "中文",
+]
+
+
+def synth(atoms, n, seed, max_parts=8):
+    rng = random.Random(seed)
+    return ["".join(rng.choices(atoms, k=rng.randint(1, max_parts)))
+            for _ in range(n)]
+
+
+def run_both(spark, duck, expr_fn, inputs):
+    rows = [(i, s) for i, s in enumerate(inputs)]
+    sdf = spark.createDataFrame(rows, "i int, u string")
+    sdf.createOrReplaceTempView("fuzz_in")
+    got_s = dict(spark.sql(
+        f"SELECT i, {expr_fn(SPARK, 'u')} FROM fuzz_in").collect())
+    duck.execute("CREATE OR REPLACE TABLE fuzz_in AS "
+                 "SELECT * FROM (VALUES (0, '')) t(i, u) WHERE false")
+    duck.executemany("INSERT INTO fuzz_in VALUES (?, ?)", rows)
+    got_d = dict(duck.sql(
+        f"SELECT i, {expr_fn(DUCK, 'u')} FROM fuzz_in").fetchall())
+    bad = [(inputs[i], got_s[i], got_d[i]) for i in got_s
+           if got_s[i] != got_d[i]]
+    assert not bad, bad[:3]
+
+
+def test_fuzz_normalize_url(spark, duck):
+    run_both(spark, duck, geo.normalize_url_expr,
+             synth(URL_ATOMS, 300, seed=101))
+
+
+def test_fuzz_domain_and_tld(spark, duck):
+    hosts = synth(["www.", "a.", "b-c.", "x", "co.", "gov.", "uk", "de",
+                   "bd", "ck", "kawasaki.jp", "sch.uk", ".", "..",
+                   "xn--p1ai", "127.0.0.1", ""], 300, seed=202,
+                  max_parts=5)
+
+    def both(d, col):
+        return f"concat({geo.tld_expr(d, col)}, '|', " \
+               f"{geo.domain_expr(d, col)})"
+    run_both(spark, duck, both, hosts)
+
+
+def test_fuzz_html_to_text(spark, duck):
+    run_both(spark, duck, sources.html_to_text_expr,
+             synth(HTML_ATOMS, 300, seed=303, max_parts=12))
