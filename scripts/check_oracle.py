@@ -5,7 +5,11 @@ twin on DuckDB at sf0.01, then compares row count, column names, and an
 order-insensitive value digest (rows sorted, columns sorted by name,
 floats rounded).  Prints one line per query: MATCH / MISMATCH / ERROR.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--hostile] [sf_dir] [query ...]
+
+--hostile runs the Spark side under driver-like adversarial confs
+(non-UTC session timezone, 200 shuffle partitions) - queries must pin
+everything they depend on, so results may not change.
 """
 
 from __future__ import annotations
@@ -90,10 +94,17 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from ccspark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    hostile = "--hostile" in args
+    if hostile:
+        args.remove("--hostile")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark("check-oracle", cores=8)
+    if hostile:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
