@@ -188,3 +188,35 @@ def write_partitioned(df: DataFrame, path: str,
        .option("maxRecordsPerFile", max_records_per_file)
        .partitionBy(*partition_cols)
        .parquet(path))
+
+
+def corpus_lines_observed(pages: DataFrame):
+    """corpus_lines + FREE global lineage metrics via ``observe()``: the
+    kernel's verdict is observed in the SAME pass that builds the corpus,
+    so the lines_seen / lines_kept / docs_seen numbers cost zero extra
+    jobs - at crawl scale running the pandas-UDF kernel a second time
+    just to count (what cell_metrics does standalone) doubles the single
+    most expensive stage.  Returns (df, observation); read
+    ``observation.get`` AFTER an action on df.  cell_metrics remains the
+    per-(region, country, lang) breakdown when the full cube is needed."""
+    from pyspark.sql import Observation
+    df = with_geo(pages)
+    df = explode_lines(df)
+    obs = Observation("corpus_metrics")
+    udf = pykernel.make_clean_verdict_udf()
+    df = df.filter(F.length("raw_line") > 15).withColumn("_v", udf("raw_line"))
+    df = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("lines_gated"),
+        F.sum(F.col("_v.keep").cast("long")).alias("lines_kept"),
+        F.approx_count_distinct("url").alias("docs_seen_approx"),
+    )
+    keep_cols = [c for c in df.columns if c not in ("raw_line", "_v")]
+    df = df.filter(F.col("_v.keep")) \
+           .select(*keep_cols, F.col("_v.text").alias("text"))
+    df = number_and_hash(df)
+    cols = ["domain", "tld", "country", "region", "url",
+            "line_id", "text", "hash"]
+    if "lang" in df.columns:
+        cols.insert(4, "lang")
+    return dedup_keep_first(df.select(*cols)), obs

@@ -133,3 +133,24 @@ def test_partitioned_write_includes_lang_dirs(spark, tmp_path):
     country = os.path.join(path, region_dirs[0],
                            os.listdir(os.path.join(path, region_dirs[0]))[0])
     assert any(d.startswith("lang=") for d in os.listdir(country))
+
+
+def test_corpus_lines_observed_free_metrics(spark):
+    """observe() metrics must match the standalone metrics job without a
+    second kernel pass, and the observed pipeline's output must equal
+    corpus_lines exactly."""
+    from ccspark.fixtures_sql import pages_spark
+    pages = pages_spark(spark, "/root/testdata/sf0.001", materialize=True)
+    df, obs = pipeline.corpus_lines_observed(pages)
+    rows = sorted((r.url, r.line_id, r.text) for r in df.collect())
+    want = sorted((r.url, r.line_id, r.text)
+                  for r in pipeline.corpus_lines(pages).collect())
+    assert rows == want
+    got = obs.get
+    cm = pipeline.cell_metrics(pages).collect()
+    # cell_metrics counts ALL lines incl. the raw-length-gated ones; the
+    # observed pass counts after the cheap JVM gate (the Arrow boundary),
+    # so compare kept (identical) and gated <= seen
+    assert got["lines_kept"] == sum(r.lines_kept for r in cm)
+    assert got["lines_gated"] <= sum(r.lines_seen for r in cm)
+    assert got["docs_seen_approx"] > 0
