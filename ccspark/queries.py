@@ -270,71 +270,110 @@ def q_lid_ngram_sql(d: str, n: int = 3, top_k: int = 1000) -> str:
     The production Iterator-pandas-UDF path (MODULE_QUERIES lid_ngram) is
     asserted equal to this rendering in tests/test_lid.py.  Trains and
     scores on the full documents table, mirroring _mq_lid_ngram."""
+    return f"""WITH {_LID_DOCS_CTE},
+{_lid_nb_ctes(d, n, top_k, '')}
+SELECT d.doc_id, d.lang, p.lang_pred
+FROM docs d JOIN pred p ON p.doc_id = d.doc_id"""
+
+
+_LID_DOCS_CTE = """docs AS (
+  SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS t FROM documents
+)"""
+
+
+def _lid_nb_ctes(d: str, n: int, top_k: int, x: str) -> str:
+    """The NB train+score CTE chain with every name suffixed by *x*, so
+    two differently-configured models compose in one statement (the
+    dual-LID agreement twin).  Expects a ``docs(doc_id, lang, text, t)``
+    CTE in scope; yields ``pred{x}(doc_id, lang_pred)``."""
     m = n - 1
     if d == SPARK:
         pos = ("LATERAL VIEW explode(sequence(1, greatest(length(t) - "
                f"{m}, 1))) ix AS i")
-        grams = f"""grams AS (
-  SELECT doc_id, lang, substring(t, i, {n}) AS gram FROM docs {pos})"""
+        grams = (f"grams{x} AS (\n  SELECT doc_id, lang, "
+                 f"substring(t, i, {n}) AS gram FROM docs {pos})")
     else:
-        grams = f"""grams AS (
+        grams = f"""grams{x} AS (
   SELECT doc_id, lang,
          substring(t, unnest(generate_series(1, greatest(length(t) - {m},
                                                           1))), {n}) AS gram
   FROM docs)"""
-    return f"""WITH docs AS (
-  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents
-),
-{grams},
-valid AS (SELECT * FROM grams WHERE length(gram) = {n}),
-counts AS (SELECT lang, gram, count(*) AS c FROM valid GROUP BY lang, gram),
-vocab AS (SELECT gram, sum(c) AS nn FROM counts GROUP BY gram
-          ORDER BY nn DESC, gram LIMIT {top_k}),
-vc AS (SELECT c.lang, c.gram, c.c FROM counts c JOIN vocab v
-       ON c.gram = v.gram),
-lang_totals AS (SELECT lang, sum(c) AS tot FROM vc GROUP BY lang),
-vsize AS (SELECT count(*) AS v FROM vocab),
-loglik AS (
+    return f"""{grams},
+valid{x} AS (SELECT * FROM grams{x} WHERE length(gram) = {n}),
+counts{x} AS (SELECT lang, gram, count(*) AS c FROM valid{x}
+              GROUP BY lang, gram),
+vocab{x} AS (SELECT gram, sum(c) AS nn FROM counts{x} GROUP BY gram
+             ORDER BY nn DESC, gram LIMIT {top_k}),
+vc{x} AS (SELECT c.lang, c.gram, c.c FROM counts{x} c JOIN vocab{x} v
+          ON c.gram = v.gram),
+lang_totals{x} AS (SELECT lang, sum(c) AS tot FROM vc{x} GROUP BY lang),
+vsize{x} AS (SELECT count(*) AS v FROM vocab{x}),
+loglik{x} AS (
   SELECT vc.lang, vc.gram, ln((vc.c + 1) * 1e0 / (lt.tot + vs.v + 1)) AS lp
-  FROM vc JOIN lang_totals lt ON vc.lang = lt.lang CROSS JOIN vsize vs
+  FROM vc{x} vc JOIN lang_totals{x} lt ON vc.lang = lt.lang
+  CROSS JOIN vsize{x} vs
 ),
-alpha AS (
+alpha{x} AS (
   SELECT lt.lang, ln(1e0 / (lt.tot + vs.v + 1)) AS lp0
-  FROM lang_totals lt CROSS JOIN vsize vs
+  FROM lang_totals{x} lt CROSS JOIN vsize{x} vs
 ),
-ndocs AS (SELECT count(*) AS n FROM docs),
-priors AS (
+ndocs{x} AS (SELECT count(*) AS n FROM docs),
+priors{x} AS (
   SELECT lang, ln(count(*) * 1e0 / max(nd.n)) AS lprior
-  FROM docs CROSS JOIN ndocs nd GROUP BY lang
+  FROM docs CROSS JOIN ndocs{x} nd GROUP BY lang
 ),
-doc_grams AS (
+doc_grams{x} AS (
   SELECT g.doc_id, g.gram, count(*) AS cnt
-  FROM valid g JOIN vocab v ON g.gram = v.gram
+  FROM valid{x} g JOIN vocab{x} v ON g.gram = v.gram
   GROUP BY g.doc_id, g.gram
 ),
-scored AS (
+scored{x} AS (
   SELECT dg.doc_id, a.lang, sum(dg.cnt * coalesce(ll.lp, a.lp0)) AS gsum
-  FROM doc_grams dg
-  CROSS JOIN alpha a
-  LEFT JOIN loglik ll ON ll.lang = a.lang AND ll.gram = dg.gram
+  FROM doc_grams{x} dg
+  CROSS JOIN alpha{x} a
+  LEFT JOIN loglik{x} ll ON ll.lang = a.lang AND ll.gram = dg.gram
   GROUP BY dg.doc_id, a.lang
 ),
-totals AS (
+totals{x} AS (
   SELECT s.doc_id, s.lang, s.gsum + p.lprior AS score
-  FROM scored s JOIN priors p ON p.lang = s.lang
+  FROM scored{x} s JOIN priors{x} p ON p.lang = s.lang
 ),
-ranked AS (
-  SELECT doc_id, lang AS pred,
+ranked{x} AS (
+  SELECT doc_id, lang AS p_lang,
          row_number() OVER (PARTITION BY doc_id
                             ORDER BY score DESC, lang) AS rk
-  FROM totals
+  FROM totals{x}
 ),
-prior_best AS (
-  SELECT lang AS fallback FROM priors ORDER BY lprior DESC, lang LIMIT 1
-)
-SELECT d.doc_id, d.lang, coalesce(r.pred, pb.fallback) AS lang_pred
-FROM docs d CROSS JOIN prior_best pb
-LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rk = 1"""
+prior_best{x} AS (
+  SELECT lang AS fallback FROM priors{x} ORDER BY lprior DESC, lang LIMIT 1
+),
+pred{x} AS (
+  SELECT d.doc_id, coalesce(r.p_lang, pb.fallback) AS lang_pred
+  FROM docs d CROSS JOIN prior_best{x} pb
+  LEFT JOIN ranked{x} r ON r.doc_id = d.doc_id AND r.rk = 1
+)"""
+
+
+def q_dual_lid_agreement(d: str, min_len: int = 50) -> str:
+    """M2 as pure SQL: TWO NB models (char-2-gram/600 and char-3-gram/
+    1000 - the CLD2+CLD3 shape, geoWAC.py:19-41) must both agree with the
+    expected language; texts of <= min_len chars score 'ukn' and drop.
+    Oracle twin of the production agreement_filter module query."""
+    return f"""WITH {_LID_DOCS_CTE},
+{_lid_nb_ctes(d, 2, 600, '_a')},
+{_lid_nb_ctes(d, 3, 1000, '_b')}
+SELECT d.doc_id, d.lang,
+       (CASE WHEN length(d.text) <= {min_len} THEN 'ukn'
+             ELSE a.lang_pred END) AS lid_a,
+       (CASE WHEN length(d.text) <= {min_len} THEN 'ukn'
+             ELSE b.lang_pred END) AS lid_b
+FROM docs d
+JOIN pred_a a ON a.doc_id = d.doc_id
+JOIN pred_b b ON b.doc_id = d.doc_id
+WHERE (CASE WHEN length(d.text) <= {min_len} THEN 'ukn'
+            ELSE a.lang_pred END) = d.lang
+  AND (CASE WHEN length(d.text) <= {min_len} THEN 'ukn'
+            ELSE b.lang_pred END) = d.lang"""
 
 
 def q_gopher_quality(d: str) -> str:
@@ -1582,6 +1621,11 @@ MODULE_QUERIES = {
 # invariant of their output in SQL (driver hash-compares as usual).
 MODULE_ORACLES = {
     "training_corpus": q_training_corpus(DUCK),
+    # the Iterator-UDF LID path is prediction-identical to the SQL twin
+    # (tests/test_lid.py asserts it), so the twin IS its oracle: the
+    # PRODUCTION pandas-UDF scorer gets hash-compared against DuckDB
+    "lid_ngram": q_lid_ngram_sql(DUCK),
+    "dual_lid_agreement": q_dual_lid_agreement(DUCK),
     "greedy_domain_totals": q_greedy_domain_totals(DUCK),
     "salted_domain_counts": _salted_counts_oracle(),
     "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
