@@ -101,7 +101,16 @@ def remove_outliers(docs: DataFrame, group_cols=CELL,
 # array higher-order functions over split(), no explode, no shuffle, no
 # UDF - so the filter runs at scan speed and composes with any plan.
 
-GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# Per-language required-stopword sets (Gopher's rule is "contains >= 2 of
+# 8 common English words"; for other corpora swap the list - the gate
+# shape is identical).  Extend freely; keys are ISO-639-1.
+GOPHER_STOPWORDS_BY_LANG = {
+    "en": ("the", "be", "to", "of", "and", "that", "have", "with"),
+    "de": ("der", "die", "und", "das", "von", "mit", "ist", "auf"),
+    "es": ("de", "la", "que", "el", "en", "los", "con", "por"),
+    "fr": ("de", "la", "le", "et", "les", "des", "que", "dans"),
+}
+GOPHER_STOPWORDS = GOPHER_STOPWORDS_BY_LANG["en"]
 
 GOPHER_THRESHOLDS = dict(
     min_words=50, max_words=100_000,
@@ -113,10 +122,13 @@ GOPHER_THRESHOLDS = dict(
 )
 
 
-def gopher_signal_exprs(d: str, text: str = "text") -> dict:
+def gopher_signal_exprs(d: str, text: str = "text",
+                        stopwords: tuple = GOPHER_STOPWORDS) -> dict:
     """Dual-dialect SQL fragments for every Gopher/C4 signal over a text
     column.  Shared by the oracled query template (queries.q_gopher_quality)
-    and the DataFrame operator below, so Spark and DuckDB cannot drift."""
+    and the DataFrame operator below, so Spark and DuckDB cannot drift.
+    *stopwords*: the required-stopword set - pick per corpus language
+    from GOPHER_STOPWORDS_BY_LANG."""
     from ccspark.sqlgen import (
         SPARK, arr_distinct, arr_filter, arr_sum_lengths, rlike, split_arr,
     )
@@ -142,7 +154,7 @@ def gopher_signal_exprs(d: str, text: str = "text") -> dict:
     padded = f"concat(' ', replace(lower({text}), chr(10), ' '), ' ')"
     stop_hits = " + ".join(
         f"(CASE WHEN position(' {w} ' IN {padded}) > 0 THEN 1 ELSE 0 END)"
-        for w in GOPHER_STOPWORDS)
+        for w in stopwords)
     n_hash = f"(length({text}) - length(replace({text}, '#', '')))"
     n_uell = f"(length({text}) - length(replace({text}, '…', '')))"
     n_dell = (f"floor((length({text}) - "
@@ -170,10 +182,11 @@ def gopher_signal_exprs(d: str, text: str = "text") -> dict:
 
 
 def gopher_keep_expr(d: str, text: str = "text",
-                     th: dict | None = None) -> str:
+                     th: dict | None = None,
+                     stopwords: tuple = GOPHER_STOPWORDS) -> str:
     """The conjunction of all Gopher gates as one boolean expression."""
     t = dict(GOPHER_THRESHOLDS, **(th or {}))
-    s = gopher_signal_exprs(d, text)
+    s = gopher_signal_exprs(d, text, stopwords)
     checks = [
         f"({s['n_words']} >= {t['min_words']})",
         f"({s['n_words']} <= {t['max_words']})",
@@ -192,16 +205,19 @@ def gopher_keep_expr(d: str, text: str = "text",
 
 def gopher_quality(docs: DataFrame, text_col: str = "text",
                    thresholds: dict | None = None,
-                   signals: bool = True) -> DataFrame:
+                   signals: bool = True,
+                   stopwords: tuple = GOPHER_STOPWORDS) -> DataFrame:
     """Adds the Gopher signal columns + ``gopher_keep``; filter with
     ``.where('gopher_keep')``.  One projection, scan-speed."""
     from ccspark.sqlgen import SPARK as _S
     out = docs
     if signals:
-        for name, expr in gopher_signal_exprs(_S, text_col).items():
+        for name, expr in gopher_signal_exprs(_S, text_col,
+                                              stopwords).items():
             out = out.withColumn(name, F.expr(expr))
     return out.withColumn(
-        "gopher_keep", F.expr(gopher_keep_expr(_S, text_col, thresholds)))
+        "gopher_keep",
+        F.expr(gopher_keep_expr(_S, text_col, thresholds, stopwords)))
 
 
 # --------------------------------------------------------------------------

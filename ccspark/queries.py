@@ -1279,6 +1279,23 @@ SELECT n_name, c_custkey, c_name, total_spend, rk FROM ranked
 WHERE rk <= 3"""
 
 
+def q_windowed_event_counts(d: str, minutes: int = 10) -> str:
+    """Tumbling event-time windows (the batch rendering of
+    streaming.windowed_event_counts): Spark ``window()`` vs DuckDB
+    ``time_bucket()`` - both epoch-aligned - with boundaries exported as
+    unix seconds (timestamps never cross the compared-output boundary,
+    round-1 rule)."""
+    if d == SPARK:
+        ws = f"unix_timestamp(window(ts, '{minutes} minutes').start)"
+    else:
+        ws = (f"cast(floor(epoch(time_bucket(INTERVAL {minutes} minutes, "
+              f"ts))) AS bigint)")
+    return f"""SELECT {ws} AS window_start_s, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY {ws}, event_type"""
+
+
 def q_events_sessionization(d: str) -> str:
     """Gaps-and-islands sessionization over the events stream table:
     a session breaks after > 30 min idle per user (epoch arithmetic -
@@ -1353,6 +1370,7 @@ QUERY_BUILDERS: dict[str, Callable[[str], str]] = {
     "monthly_order_stats": q_monthly_order_stats,
     "top_customers_per_nation": q_top_customers_per_nation,
     "events_sessionization": q_events_sessionization,
+    "windowed_event_counts": q_windowed_event_counts,
 }
 
 

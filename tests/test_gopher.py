@@ -171,3 +171,17 @@ def test_quality_ops_null_and_empty_safe(spark):
     assert 3 not in kept or True     # GOOD has no terminal punctuation
     spans = quality.c4_span_dedup(df.where("text IS NOT NULL")).collect()
     assert all(r.doc_id in (1, 2, 3) for r in spans)
+
+
+def test_gopher_stopwords_per_language(spark):
+    """A German page fails the English stopword gate but passes with the
+    German set - the gate shape is language-parameterized."""
+    de_line = ("der schnelle braune fuchs springt mit viel energie und "
+               "freude auf das grosse feld von heute und morgen wieder")
+    text = "\n".join(f"{de_line} variante {i}" for i in range(4))
+    df = spark.createDataFrame([Row(doc_id=0, text=text)])
+    en = quality.gopher_quality(df).collect()[0]
+    assert en.stopword_hits < 2 and not en.gopher_keep
+    de = quality.gopher_quality(
+        df, stopwords=quality.GOPHER_STOPWORDS_BY_LANG["de"]).collect()[0]
+    assert de.stopword_hits >= 2 and de.gopher_keep
