@@ -1407,6 +1407,59 @@ def _mq_greedy_domain_chunks(spark, sf_dir):
     return chunker.domain_samples(geo, chunksize=500)
 
 
+def _greedy_chunks_oracle(chunk: int = CHUNK_WORDS_SF) -> str:
+    """DuckDB-only RECURSIVE-CTE rendering of the reference's sequential
+    greedy accumulator (deduplication.py:19-85): per domain, walk lines in
+    (url, line-index) order carrying (count, text) state, emit on
+    count > chunksize with reset, emit the stripped tail.  Spark 4 would
+    execute each recursion level as a separate job, so the PRODUCTION
+    side stays applyInPandas (ccspark.chunker) - but the ORACLE only
+    needs DuckDB, which runs the recursion natively.  This makes the
+    exact greedy semantics (not just its aggregate invariant)
+    hash-verified."""
+    d = DUCK
+    wc = (r"len(list_filter(string_split_regex(replace(line, chr(13), "
+          r"''), '\s+'), x -> x != ''))")
+    return f"""WITH RECURSIVE {geo_pages_cte(d)},
+lines AS (
+  SELECT domain,
+         row_number() OVER (PARTITION BY domain ORDER BY url, li) AS rn,
+         replace(line, chr(13), '') AS line, {wc} AS w
+  FROM (SELECT domain, url,
+               generate_subscripts(string_split(text, chr(10)), 1) AS li,
+               unnest(string_split(text, chr(10))) AS line
+        FROM geo_pages)
+),
+nmax AS (SELECT domain, max(rn) AS mx FROM lines GROUP BY domain),
+acc AS (
+  SELECT domain, rn,
+         CASE WHEN w > {chunk} THEN 1 ELSE 0 END AS cid,
+         CASE WHEN w > {chunk} THEN 0 ELSE w END AS cnt,
+         CASE WHEN w > {chunk} THEN '' ELSE line || ' ' END AS txt,
+         CASE WHEN w > {chunk} THEN 0 END AS emit_cid,
+         CASE WHEN w > {chunk} THEN w END AS emit_n,
+         CASE WHEN w > {chunk} THEN line || ' ' END AS emit_txt
+  FROM lines WHERE rn = 1
+  UNION ALL
+  SELECT l.domain, l.rn,
+         CASE WHEN a.cnt + l.w > {chunk} THEN a.cid + 1 ELSE a.cid END,
+         CASE WHEN a.cnt + l.w > {chunk} THEN 0 ELSE a.cnt + l.w END,
+         CASE WHEN a.cnt + l.w > {chunk} THEN ''
+              ELSE a.txt || l.line || ' ' END,
+         CASE WHEN a.cnt + l.w > {chunk} THEN a.cid END,
+         CASE WHEN a.cnt + l.w > {chunk} THEN a.cnt + l.w END,
+         CASE WHEN a.cnt + l.w > {chunk} THEN a.txt || l.line || ' ' END
+  FROM acc a JOIN lines l ON l.domain = a.domain AND l.rn = a.rn + 1
+)
+SELECT domain, cast(emit_cid AS int) AS chunk_id,
+       cast(emit_n AS int) AS n_words, emit_txt AS text
+FROM acc WHERE emit_n IS NOT NULL
+UNION ALL
+SELECT a.domain, cast(a.cid AS int), cast(a.cnt AS int), trim(a.txt)
+FROM acc a JOIN nmax m ON m.domain = a.domain AND a.rn = m.mx
+WHERE trim(a.txt) <> ''"""
+
+
 def _mq_salted_domain_counts(spark, sf_dir):
     """Skew handling verified by value: the two-phase SALTED aggregation
     (skew.salted_counts - hot keys split across salt_n reducers, partials
@@ -1644,6 +1697,7 @@ MODULE_ORACLES = {
     # PRODUCTION pandas-UDF scorer gets hash-compared against DuckDB
     "lid_ngram": q_lid_ngram_sql(DUCK),
     "dual_lid_agreement": q_dual_lid_agreement(DUCK),
+    "greedy_domain_chunks": _greedy_chunks_oracle(),
     "greedy_domain_totals": q_greedy_domain_totals(DUCK),
     "salted_domain_counts": _salted_counts_oracle(),
     "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
