@@ -200,7 +200,7 @@ def pq_knn(codes: DataFrame, codebooks, queries: DataFrame, k: int = 5,
         for pdf in it:
             C = np.array(list(pdf["pq_code"]), dtype="int64")   # (n, m)
             n = len(C)
-            rows_id = pdf.iloc[:, 0].to_numpy()
+            rows_id = pdf[id_col].to_numpy()
             out_q, out_n, out_s = [], [], []
             for qi, qid in enumerate(qids_):
                 s = tab[qi][np.arange(C.shape[1])[None, :], C].sum(1)
