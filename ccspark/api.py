@@ -80,7 +80,8 @@ class CCSparkCorpus:
         df = pages
         if gopher:
             df = (quality.gopher_quality(df, signals=False,
-                                         thresholds=gopher_thresholds)
+                                         thresholds=gopher_thresholds,
+                                         engine="udf")
                   .where("gopher_keep").drop("gopher_keep"))
         if c4:
             df = quality.c4_page_filter(df)

@@ -77,6 +77,16 @@ def arr_len(d: str, arr: str) -> str:
     return f"len({arr})"
 
 
+def rcount(d: str, e: str, pat: str) -> str:
+    """Count of non-overlapping regex matches - ONE scan of the string
+    (Spark regexp_count / DuckDB regexp_extract_all+len); the cheap
+    replacement for exploding-into-tokens-then-filtering when only a
+    count is needed."""
+    if d == SPARK:
+        return f"regexp_count({e}, {lit(d, pat)})"
+    return f"len(regexp_extract_all({e}, {lit(d, pat)}))"
+
+
 def arr_filter(d: str, arr: str, cond: str) -> str:
     """Filter an array by a lambda condition over ``x`` (both engines use
     the same ``x -> cond`` lambda syntax)."""

@@ -185,3 +185,31 @@ def test_gopher_stopwords_per_language(spark):
     de = quality.gopher_quality(
         df, stopwords=quality.GOPHER_STOPWORDS_BY_LANG["de"]).collect()[0]
     assert de.stopword_hits >= 2 and de.gopher_keep
+
+
+def test_gopher_udf_gate_matches_expression_gate(spark):
+    """The pandas-UDF gate must be verdict-identical to the expression
+    gate on the fixture pages, every purpose-built violating doc, nulls,
+    and round(.,4) threshold-boundary cases."""
+    from ccspark.fixtures_sql import pages_spark
+    from ccspark import queries as Q
+    frames = [
+        pages_spark(spark, "/root/testdata/sf0.001").select("doc_id",
+                                                            "text"),
+        spark.createDataFrame(
+            [Row(doc_id=100 + i, text=v) for i, v in
+             enumerate(DOCS.values())]
+            + [Row(doc_id=200, text=None),
+               Row(doc_id=201, text=""),
+               # mean_word_len rounds to exactly 3.0 (boundary)
+               Row(doc_id=202, text=" ".join(["abc"] * 60) + " x y")],
+            "doc_id long, text string"),
+    ]
+    for th in (None, Q.TRAINING_GOPHER_TH):
+        for df in frames:
+            a = {r.doc_id: r.gopher_keep for r in quality.gopher_quality(
+                df, signals=False, thresholds=th).collect()}
+            b = {r.doc_id: r.gopher_keep for r in quality.gopher_quality(
+                df, signals=False, thresholds=th,
+                engine="udf").collect()}
+            assert a == b
