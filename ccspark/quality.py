@@ -280,7 +280,9 @@ def c4_line_keep_expr(d: str, line: str) -> str:
     'javascript' (case-insensitive)."""
     from ccspark.sqlgen import rlike
     words = f"(length({line}) - length(replace({line}, ' ', '')) + 1)"
-    term_pat = '[.!?"]$'
+    # \z (absolute end) not $: Java's $ also matches BEFORE a final
+    # newline while RE2's does not - found by the cross-engine fuzz
+    term_pat = '[.!?"]\\z'
     term = rlike(d, line, term_pat)
     nojs = rlike(d, f"lower({line})", "javascript")
     return f"({term} AND {words} >= 3 AND NOT {nojs})"

@@ -71,3 +71,39 @@ def test_fuzz_domain_and_tld(spark, duck):
 def test_fuzz_html_to_text(spark, duck):
     run_both(spark, duck, sources.html_to_text_expr,
              synth(HTML_ATOMS, 300, seed=303, max_parts=12))
+
+
+QUALITY_ATOMS = [
+    "the quick", "fox", "über", "中文字", "...", "…", "##", "a" * 30,
+    "\n", "- bullet", "* star", "• dot", "1234", " ", "  ", "e.g.",
+    "end.", "uh?", "wow!", "\t", "\r", "mixed2tok", "", "of and that",
+]
+
+
+def test_fuzz_gopher_signals(spark, duck):
+    """Every Gopher signal fragment must agree cross-engine on
+    adversarial text (regexp_count vs regexp_extract_all, \\p{L} classes,
+    LIKE-in-lambda, char counting)."""
+    from ccspark import quality
+    texts = synth(QUALITY_ATOMS, 250, seed=404, max_parts=15)
+
+    def all_signals(d, col):
+        sig = quality.gopher_signal_exprs(d, col)
+        parts = [f"cast({e} AS varchar)" if d == DUCK else
+                 f"cast({e} AS string)" for e in sig.values()]
+        return "concat_ws('|', " + ", ".join(parts) + ")"
+    run_both(spark, duck, all_signals, texts)
+
+
+def test_fuzz_c4_gates(spark, duck):
+    from ccspark import quality
+    texts = synth(QUALITY_ATOMS + ["First one. Second! Third?",
+                                   "lorem ipsum", "{", "javascript"],
+                  250, seed=505, max_parts=10)
+
+    def gates(d, col):
+        page = quality.c4_page_keep_expr(d, col)
+        line = quality.c4_line_keep_expr(d, col)
+        return (f"concat(cast({page} AS {'string' if d == SPARK else 'varchar'}), '|', "
+                f"cast({line} AS {'string' if d == SPARK else 'varchar'}))")
+    run_both(spark, duck, gates, texts)
