@@ -12,7 +12,8 @@ from ccspark import geo, sources
 from ccspark.sqlgen import DUCK, SPARK
 
 URL_ATOMS = [
-    "http://", "https://", "HTTPS://", "ftp://", "", "user:pw@", "WWW.",
+    "\n", "http://", "https://", "HTTPS://", "ftp://", "", "user:pw@",
+    "WWW.",
     "example", ".co.uk", ".de", ".com", ".bd", ".kawasaki.jp", ":8080",
     ":443", ":80", "/path", "/Path/Case", "/", "?", "?utm_source=x",
     "&utm_medium=y", "&keep=1", "&gclid=9", "#frag", "#", "..", "a b",
