@@ -95,14 +95,27 @@ def build_resumable(spark: SparkSession, pages: DataFrame, root: str,
             raise RuntimeError(f"injected failure after bucket {b}")
 
 
+def _committed_only(spark: SparkSession, df: DataFrame,
+                    root: str) -> DataFrame:
+    """Readers must consult the commit point (lineage), not the directory
+    tree: a crash between a bucket's data/metrics overwrite and its
+    lineage append leaves orphan bucket=<i> dirs that are NOT committed -
+    reads in the crash-to-resume window must not include them."""
+    done = sorted(completed_buckets(spark, root))
+    return df.where(F.col("bucket").isin(done) if done else F.lit(False))
+
+
 def read_corpus(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(root, "data"))
+    df = spark.read.parquet(os.path.join(root, "data"))
+    return _committed_only(spark, df, root).drop("bucket")
 
 
 def read_metrics(spark: SparkSession, root: str) -> DataFrame:
-    """Aggregated metrics across buckets; invariant seen = kept + dropped
-    holds per cell because it holds per bucket-cell."""
+    """Aggregated metrics across COMMITTED buckets; invariant
+    seen = kept + dropped holds per cell because it holds per
+    bucket-cell."""
     m = spark.read.parquet(os.path.join(root, "metrics"))
+    m = _committed_only(spark, m, root)
     return (m.groupBy("region", "country", "lang")
              .agg(F.sum("lines_seen").alias("lines_seen"),
                   F.sum("lines_kept").alias("lines_kept"),

@@ -167,8 +167,12 @@ def html_to_text_expr(d: str, col: str) -> str:
     e = rrep(d, e, r"(?i)</(p|div|br|li|tr|h[1-6])>", "\n")
     e = rrep(d, e, r"(?i)<br\s*/?>", "\n")
     e = rrep(d, e, r"(?s)<[^>]*>", " ")
-    for ent, ch in (("&nbsp;", "' '"), ("&amp;", "'&'"), ("&lt;", "'<'"),
-                    ("&gt;", "'>'"), ("&quot;", "'\"'"), ("&#39;", "chr(39)")):
+    # '&amp;' must decode LAST: decoding it first turns double-escaped
+    # entities ('5 &amp;lt; 6', which a browser renders as '5 &lt; 6')
+    # into their single-escaped forms and then decodes those too
+    for ent, ch in (("&nbsp;", "' '"), ("&lt;", "'<'"), ("&gt;", "'>'"),
+                    ("&quot;", "'\"'"), ("&#39;", "chr(39)"),
+                    ("&amp;", "'&'")):
         e = f"replace({e}, '{ent}', {ch})"
     e = rrep(d, e, r"[ \t]+", " ")
     e = rrep(d, e, r" ?\n ?", "\n")

@@ -170,6 +170,11 @@ US_STATES = ("al ak az ar ca co ct de dc fl ga hi id il in ia ks ky la me "
              "md ma mi mn ms mo mt ne nv nh nj nm ny nc nd oh ok or pa ri "
              "sc sd tn tx ut vt va wa wv wi wy").split()
 
+# 4-label exact rules from the upstream list (Massachusetts carves its
+# k12 tree one level deeper) - these exercise the generated depth-4 CASE
+# arm in geo.domain_expr.
+US_FOURTH = ["pvt.k12.ma.us", "chtr.k12.ma.us", "paroch.k12.ma.us"]
+
 
 def main() -> None:
     lines = [
@@ -199,6 +204,7 @@ def main() -> None:
         lines.append(f"{st}.us")
         for sub in ("k12", "cc", "lib"):
             lines.append(f"{sub}.{st}.us")
+    lines.extend(US_FOURTH)
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "ccspark", "data", "psl_snapshot.dat")
     with open(out, "w", encoding="utf-8") as f:

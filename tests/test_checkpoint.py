@@ -98,3 +98,31 @@ def test_metrics_invariant_across_buckets(spark, tmp_path):
     for r in m:
         assert r.lines_seen == r.lines_kept + r.lines_dropped
     assert sum(r.docs_seen for r in m) == 40
+
+
+def test_reads_between_crash_and_resume_exclude_uncommitted(spark, tmp_path):
+    """ADVICE r2: a crash in the window between a bucket's data/metrics
+    overwrite and its lineage commit leaves orphan bucket dirs.  Reads in
+    the crash-to-resume window must reflect only COMMITTED buckets - the
+    commit point is lineage, and the readers consult it."""
+    pages = make_pages(spark)
+    crash_root = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="before lineage"):
+        checkpoint.build_resumable(spark, pages, crash_root, n_buckets=4,
+                                   fail_before_lineage=2)
+    done = checkpoint.completed_buckets(spark, crash_root)
+    assert len(done) == 1
+    # data dirs exist for 2 buckets, but reads must only see the committed 1
+    corpus = checkpoint.read_corpus(spark, crash_root)
+    metrics = checkpoint.read_metrics(spark, crash_root)
+    data = spark.read.parquet(f"{crash_root}/data")
+    assert sorted({r.bucket for r in data.select("bucket").collect()}) \
+        != sorted(done)                    # orphan exists on disk
+    committed_urls = {r.url for r in data.where(
+        data.bucket.isin(list(done))).select("url").collect()}
+    assert {r.url for r in corpus.select("url").collect()} == committed_urls
+    assert metrics.count() > 0
+    seen = {r.url for r in corpus.collect()}
+    orphan_urls = {r.url for r in data.where(
+        ~data.bucket.isin(list(done))).select("url").collect()}
+    assert not (seen & orphan_urls)

@@ -34,6 +34,11 @@ PSL_CASES = {
     "www.city.kyoto.jp": "city",                     # kyoto.jp prefecture
     "www.example.act.edu.au": "example",             # 3-label exact rule
     "school.k12.ny.us": "school",
+    "foo.schools.nsw.edu.au": "foo",                 # 4-label exact rule
+    "www.foo.schools.nsw.edu.au": "foo",
+    "myschool.pvt.k12.ma.us": "myschool",            # 4-label exact rule
+    "x.chtr.k12.ma.us": "x",
+    "plain.k12.ma.us": "plain",                      # 3-label still wins
     "www.example.com": "example",
     "example.de": "example",
     "trademe.co.nz": "trademe",
@@ -90,6 +95,13 @@ URL_NORM_CASES = {
         "https://www.hotel.de/p0",
     "https://h.de/p?gclid=1&x=2&utm_term=3": "https://h.de/p?x=2",
     "https://h.de/Path/Case": "https://h.de/Path/Case",  # path case kept
+    # '&' is a legal PATH character (RFC 3986): param-stripping must be
+    # anchored to the query portion and never rewrite the path
+    "http://x.com/a&ref=b/page": "http://x.com/a&ref=b/page",
+    "http://x.com/a&ref=b/page?ref=c&keep=1":
+        "http://x.com/a&ref=b/page?keep=1",
+    "http://x.com/a&utm_source=p?utm_source=q":
+        "http://x.com/a&utm_source=p",
 }
 
 
@@ -123,3 +135,37 @@ def test_normalize_url_is_idempotent(duck):
         .fetchall()
     for a, b in rows:
         assert a == b, (a, b)
+
+
+def test_psl_parser_rejects_malformed_rules():
+    """The PSL parser must fail LOUDLY on rule shapes the engine can't
+    render (a '*' anywhere but as the entire leftmost label) - a
+    silently-dropped rule would change the MNC anti-join key."""
+    import pytest
+    for bad in ("a.*.b", "*", "foo.*", "!x.*.y", "*.", ".leading",
+                "trailing.", "*.mid.*"):
+        with pytest.raises(ValueError):
+            geo._parse_psl_text(f"co.uk\n{bad}\n")
+    # well-formed rules of every depth parse cleanly
+    exact, wild, exc = geo._parse_psl_text(
+        "uk\nco.uk\nschools.nsw.edu.au\n*.ck\n*.compute.example.com\n"
+        "!www.ck\n// comment\n\n")
+    assert "schools.nsw.edu.au" in exact and "uk" in exact
+    assert "compute.example.com" in wild and "www.ck" in exc
+
+
+def test_idn_cctld_punycode_twins():
+    """Every unicode IDN ccTLD row has a punycode twin mapping to the SAME
+    (country, region) - the fix for the reference's WET_processor.py:51
+    TODO (real crawl URLs carry the xn-- form)."""
+    from ccspark.geo import _read_data_csv
+    rows = {r[0]: (r[1], r[2]) for r in _read_data_csv("cctld")}
+    idn = [t for t in rows if not t.isascii()]
+    assert len(idn) >= 40
+    for t in idn:
+        try:
+            puny = t.encode("idna").decode()
+        except UnicodeError:
+            puny = "xn--" + t.encode("punycode").decode()
+        assert puny in rows, f"missing punycode twin for {t!r}"
+        assert rows[puny] == rows[t], (t, puny)

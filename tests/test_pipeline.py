@@ -27,14 +27,18 @@ def test_geo_gate_and_domain(spark):
         ("https://sub.keep2.co.nz/y", GOOD),
         ("http://nocountry.com/z", GOOD),       # com -> not a ccTLD
         ("https://hotel.fr/z", GOOD),           # MNC anti-join
-        ("https://xn--80aswg.xn--p1ai/z", GOOD),  # punycode NOT decoded
+        ("https://xn--80aswg.xn--p1ai/z", GOOD),  # punycode IDN ccTLD
     ])
     got = pipeline.with_geo(pages).select("url", "domain", "tld", "country")
     rows = {r.url: r for r in got.collect()}
-    assert set(rows) == {"https://www.keep.de/x", "https://sub.keep2.co.nz/y"}
+    assert set(rows) == {"https://www.keep.de/x", "https://sub.keep2.co.nz/y",
+                         "https://xn--80aswg.xn--p1ai/z"}
     assert rows["https://sub.keep2.co.nz/y"].domain == "keep2"
     assert rows["https://sub.keep2.co.nz/y"].tld == "nz"
     assert rows["https://www.keep.de/x"].country == "Germany"
+    # r3: punycode twins in cctld.csv close the reference's
+    # WET_processor.py:51 TODO - the xn-- form now geo-gates correctly
+    assert rows["https://xn--80aswg.xn--p1ai/z"].country == "Russia"
 
 
 def test_unicode_cctld(spark):

@@ -187,9 +187,13 @@ def test_html_to_text_extraction(spark, duck):
             "<h1>Head &amp; Line</h1>"
             "<p>First   paragraph with &lt;tag&gt; text.</p>"
             "<div>Second block</div><br>"
-            "it&#39;s a &quot;quote&quot;</body></html>")
+            "it&#39;s a &quot;quote&quot;"
+            "<p>math: 5 &amp;lt; 6 and A &amp;amp; B</p></body></html>")
+    # double-escaped entities decode exactly ONCE ('&amp;' is replaced
+    # last): a browser renders '5 &amp;lt; 6' as '5 &lt; 6', never '5 < 6'
     want = ("Head & Line\nFirst paragraph with <tag> text.\n"
-            "Second block\nit's a \"quote\"")
+            "Second block\nit's a \"quote\" "
+            "math: 5 &lt; 6 and A &amp; B")
     got_d = duck.sql(
         f"SELECT {sources.html_to_text_expr(DUCK, 'h')} "
         f"FROM (SELECT ? AS h)", params=[html]).fetchone()[0]
