@@ -64,13 +64,20 @@ class CCSparkCorpus:
     def build_training_corpus(self, pages: DataFrame,
                               gopher: bool = True, c4: bool = True,
                               scrub_pii: bool = True,
-                              gopher_thresholds: dict | None = None
-                              ) -> DataFrame:
+                              gopher_thresholds: dict | None = None,
+                              lang_aware: bool = True) -> DataFrame:
         """The quality_filter composite a modern training-data pipeline
         runs: document gates FIRST (Gopher + C4 page rules - scan-speed
         array projections that prune whole pages before the expensive
         explode), then the reference line kernel + geo gate + dedup
         (process_pages), then the PII scrub over the surviving lines.
+
+        The Gopher gate is LANGUAGE-AWARE by default when the pages carry
+        a ``lang`` column (per-row stopword sets, CJK-safe word counts -
+        quality.gopher_signal_exprs_ml); a language-blind English gate
+        over a multilingual geo corpus structurally drops every valid
+        CJK page and demands English stopwords of German ones.  Pass
+        ``lang_aware=False`` for the static single-language gate.
 
         Scrub runs AFTER dedup on purpose: the dedup hash keys pre-scrub
         text (placeholders like <EMAIL> would otherwise collide distinct
@@ -79,9 +86,11 @@ class CCSparkCorpus:
         against a DuckDB SQL twin (driver query ``training_corpus``)."""
         df = pages
         if gopher:
+            lang_col = "lang" if (lang_aware and "lang" in df.columns) \
+                else None
             df = (quality.gopher_quality(df, signals=False,
                                          thresholds=gopher_thresholds,
-                                         engine="udf")
+                                         engine="udf", lang_col=lang_col)
                   .where("gopher_keep").drop("gopher_keep"))
         if c4:
             df = quality.c4_page_filter(df)

@@ -109,8 +109,20 @@ GOPHER_STOPWORDS_BY_LANG = {
     "de": ("der", "die", "und", "das", "von", "mit", "ist", "auf"),
     "es": ("de", "la", "que", "el", "en", "los", "con", "por"),
     "fr": ("de", "la", "le", "et", "les", "des", "que", "dans"),
+    "it": ("di", "che", "la", "il", "per", "con", "del", "una"),
+    "pt": ("de", "que", "em", "para", "com", "uma", "dos", "mais"),
+    "nl": ("de", "het", "een", "van", "en", "dat", "met", "voor"),
+    "ru": ("и", "в", "не", "на", "что", "как", "это", "для"),
 }
 GOPHER_STOPWORDS = GOPHER_STOPWORDS_BY_LANG["en"]
+
+# Space-free scripts: token counts over ' '-splits are meaningless (a CJK
+# page is ONE "word"), so the language-aware gate counts Han/Hangul/Kana
+# CHARACTERS as words instead and bypasses the token-shape gates
+# (mean_word_len, token-alpha-fraction, stopwords) - mirroring the line
+# kernel's F12 CJK handling (cc_corpus.py:276-284 -> pykernel.py:98-107),
+# which the language-BLIND document gate used to contradict.
+SPACE_FREE_LANGS = ("ja", "ko", "zh")
 
 GOPHER_THRESHOLDS = dict(
     min_words=50, max_words=100_000,
@@ -210,11 +222,187 @@ def gopher_keep_expr(d: str, text: str = "text",
     return "(" + " AND ".join(checks) + ")"
 
 
+def gopher_signal_exprs_ml(d: str, text: str = "text",
+                           lang: str = "lang") -> dict:
+    """LANGUAGE-AWARE Gopher signals: same fragments as
+    gopher_signal_exprs, but every token-shaped signal dispatches on the
+    *lang* column per row:
+
+      * word count - for SPACE_FREE_LANGS (zh/ja/ko) one Han/Hangul/Kana
+        CHARACTER counts as one word (token counts over ' '-splits are
+        meaningless for space-free scripts: the whole page is one
+        "token", which is exactly how the language-blind gate
+        structurally dropped every valid CJK page);
+      * alpha fraction - char-level (letter chars / non-space chars)
+        for space-free scripts, token-level otherwise;
+      * stopword hits - computed with the stopword set OF THE ROW'S
+        LANGUAGE (GOPHER_STOPWORDS_BY_LANG); NULL when no set applies
+        (space-free or unlisted language - the keep gate bypasses the
+        stopword rule there rather than demanding English of Finnish).
+
+    Line-level signals (bullets, ellipses, duplicate lines) are
+    language-neutral and identical to the static rendering."""
+    from ccspark import regexes as R
+    from ccspark.sqlgen import in_list, rcount
+
+    base = gopher_signal_exprs(d, text)
+    sf = in_list(d, lang, SPACE_FREE_LANGS)
+    n_tok = rcount(d, text, "[^ ]+")
+    n_cjk = rcount(d, text, R.CJKISH_CLASS)
+    n_words = f"(CASE WHEN {sf} THEN {n_cjk} ELSE {n_tok} END)"
+    word_chars = f"cast(length(replace({text}, ' ', '')) AS bigint)"
+    n_letters = rcount(d, text, R.ALPHA_CLASS)
+    n_alpha_tok = rcount(d, text, "(?:^| )[^ \\p{L}]*\\p{L}")
+    n_hash = f"(length({text}) - length(replace({text}, '#', '')))"
+    n_uell = f"(length({text}) - length(replace({text}, '…', '')))"
+    n_dell = (f"floor((length({text}) - "
+              f"length(replace({text}, '...', ''))) / 3)")
+    padded = f"concat(' ', replace(lower({text}), chr(10), ' '), ' ')"
+    stop_arms = []
+    for lg in sorted(GOPHER_STOPWORDS_BY_LANG):
+        hits = " + ".join(
+            f"(CASE WHEN position(' {w} ' IN {padded}) > 0 "
+            f"THEN 1 ELSE 0 END)"
+            for w in GOPHER_STOPWORDS_BY_LANG[lg])
+        stop_arms.append(f"WHEN {lang} = '{lg}' "
+                         f"THEN cast(({hits}) AS bigint)")
+    stop_case = ("(CASE " + " ".join(stop_arms)
+                 + " ELSE cast(NULL AS bigint) END)")
+    out = dict(base)
+    out["n_words"] = f"cast({n_words} AS bigint)"
+    out["mean_word_len"] = (f"round({word_chars} * 1e0 / "
+                            f"greatest({n_words}, 1), 4)")
+    out["symbol_word_ratio"] = (f"round(({n_hash} + {n_uell} + {n_dell}) "
+                                f"* 1e0 / greatest({n_words}, 1), 4)")
+    out["alpha_word_frac"] = (
+        f"(CASE WHEN {sf} THEN round({n_letters} * 1e0 / "
+        f"greatest({word_chars}, 1), 4) "
+        f"ELSE round({n_alpha_tok} * 1e0 / greatest({n_tok}, 1), 4) END)")
+    out["stopword_hits"] = stop_case
+    return out
+
+
+def gopher_keep_ml_expr(d: str, text: str = "text", lang: str = "lang",
+                        th: dict | None = None,
+                        s: dict | None = None) -> str:
+    """Language-aware keep verdict: the Gopher conjunction with per-row
+    lang dispatch - token-shape gates (mean_word_len) are bypassed for
+    space-free scripts, the stopword gate applies only when the row's
+    language has a configured set.  *s* may map signal names to COLUMN
+    names (the DataFrame operator computes signals once as columns and
+    derives keep from them, keeping each signal inside its own codegen
+    method)."""
+    from ccspark.sqlgen import in_list
+    t = dict(GOPHER_THRESHOLDS, **(th or {}))
+    s = s or gopher_signal_exprs_ml(d, text, lang)
+    sf = in_list(d, lang, SPACE_FREE_LANGS)
+    known = in_list(d, lang, tuple(sorted(GOPHER_STOPWORDS_BY_LANG)))
+    checks = [
+        f"({s['n_words']} >= {t['min_words']})",
+        f"({s['n_words']} <= {t['max_words']})",
+        f"({sf} OR ({s['mean_word_len']} >= {t['min_mean_word_len']} "
+        f"AND {s['mean_word_len']} <= {t['max_mean_word_len']}))",
+        f"({s['symbol_word_ratio']} <= {t['max_symbol_word_ratio']})",
+        f"({s['bullet_frac']} <= {t['max_bullet_frac']})",
+        f"({s['ellipsis_frac']} <= {t['max_ellipsis_frac']})",
+        f"({s['alpha_word_frac']} >= {t['min_alpha_word_frac']})",
+        f"(CASE WHEN {known} THEN {s['stopword_hits']} >= "
+        f"{t['min_stopword_hits']} ELSE TRUE END)",
+        f"({s['dup_line_frac']} <= {t['max_dup_line_frac']})",
+        f"({s['dup_line_char_frac']} <= {t['max_dup_line_char_frac']})",
+    ]
+    return "(" + " AND ".join(checks) + ")"
+
+
+def make_gopher_keep_ml_udf(thresholds: dict | None = None):
+    """The language-aware Gopher gate as ONE vectorized pandas pass per
+    (text, lang) pair - the production fast path (same economics as
+    make_gopher_keep_udf: each doc is scanned once instead of once per
+    Catalyst check).  Verdict-identical to gopher_keep_ml_expr,
+    parity-tested per row on a mixed-language boundary fixture incl. the
+    round(.,4) HALF_UP threshold edges."""
+    import re as _re
+
+    import pandas  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    from ccspark import regexes as R
+
+    t = dict(GOPHER_THRESHOLDS, **(thresholds or {}))
+    cjk_rx = _re.compile(R.CJKISH_CLASS)
+    sf_set = frozenset(SPACE_FREE_LANGS)
+    stops_by_lang = {k: tuple(v) for k, v in GOPHER_STOPWORDS_BY_LANG.items()}
+
+    def keep_one(text, lang) -> bool:
+        if text is None:
+            return False
+        sf = lang in sf_set
+        tokens = [w for w in text.split(" ") if w]
+        n_words = len(cjk_rx.findall(text)) if sf else len(tokens)
+        if not (t["min_words"] <= n_words <= t["max_words"]):
+            return False
+        word_chars = len(text.replace(" ", ""))
+        if not sf:
+            mwl = _round4(word_chars / max(n_words, 1))
+            if not (t["min_mean_word_len"] <= mwl
+                    <= t["max_mean_word_len"]):
+                return False
+        n_sym = (text.count("#") + text.count("…") + text.count("..."))
+        if _round4(n_sym / max(n_words, 1)) > t["max_symbol_word_ratio"]:
+            return False
+        lines = text.split("\n")
+        n_lines = len(lines)
+        n_bullet = sum(1 for ln in lines
+                       if ln.startswith(("- ", "* ", "• ")))
+        if _round4(n_bullet / max(n_lines, 1)) > t["max_bullet_frac"]:
+            return False
+        n_ellip = sum(1 for ln in lines if ln.endswith(("...", "…")))
+        if _round4(n_ellip / max(n_lines, 1)) > t["max_ellipsis_frac"]:
+            return False
+        if sf:
+            n_alpha_chars = sum(1 for c in text if c.isalpha())
+            if _round4(n_alpha_chars / max(word_chars, 1)) \
+                    < t["min_alpha_word_frac"]:
+                return False
+        else:
+            n_alpha = sum(1 for w in tokens if any(c.isalpha() for c in w))
+            if _round4(n_alpha / max(len(tokens), 1)) \
+                    < t["min_alpha_word_frac"]:
+                return False
+        stops = stops_by_lang.get(lang)
+        if stops is not None:
+            padded = " " + text.lower().replace("\n", " ") + " "
+            hits = sum(1 for w in stops if f" {w} " in padded)
+            if hits < t["min_stopword_hits"]:
+                return False
+        distinct = set(lines)
+        if _round4((n_lines - len(distinct)) / max(n_lines, 1)) \
+                > t["max_dup_line_frac"]:
+            return False
+        line_chars = len(text) - (n_lines - 1)
+        dup_chars = max(line_chars - sum(len(ln) for ln in distinct), 0)
+        if _round4(dup_chars / max(line_chars, 1)) \
+                > t["max_dup_line_char_frac"]:
+            return False
+        return True
+
+    def batches(texts: "pandas.Series",
+                langs: "pandas.Series") -> "pandas.Series":
+        return pandas.Series(
+            [keep_one(x, lg) for x, lg in zip(texts, langs)])
+
+    batches.__annotations__ = {"texts": pandas.Series,
+                               "langs": pandas.Series,
+                               "return": pandas.Series}
+    return pandas_udf(batches, "boolean")
+
+
 def gopher_quality(docs: DataFrame, text_col: str = "text",
                    thresholds: dict | None = None,
                    signals: bool = True,
                    stopwords: tuple = GOPHER_STOPWORDS,
-                   engine: str = "expr") -> DataFrame:
+                   engine: str = "expr",
+                   lang_col: str | None = None) -> DataFrame:
     """Adds the Gopher signal columns + ``gopher_keep``; filter with
     ``.where('gopher_keep')``.  One projection, scan-speed.
 
@@ -222,34 +410,51 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
     inlining every signal into one giant boolean: the inlined form blows
     the 64KB codegen limit and falls back to interpreted evaluation -
     measured 20.8s vs ~1.5s for the column form on 3M docs (each signal
-    column compiles into its own codegen method)."""
+    column compiles into its own codegen method).
+
+    With *lang_col* the gate is LANGUAGE-AWARE (see
+    gopher_signal_exprs_ml): per-row stopword sets, CJK-safe word
+    counting, token-shape gates bypassed for space-free scripts."""
     from ccspark.sqlgen import SPARK as _S
     t = dict(GOPHER_THRESHOLDS, **(thresholds or {}))
+    sig = (gopher_signal_exprs_ml(_S, text_col, lang_col)
+           if lang_col is not None
+           else gopher_signal_exprs(_S, text_col, stopwords))
     out = docs
-    for name, expr in gopher_signal_exprs(_S, text_col, stopwords).items():
+    for name, expr in sig.items():
         out = out.withColumn(name, F.expr(expr))
-    keep = (
-        (F.col("n_words") >= t["min_words"])
-        & (F.col("n_words") <= t["max_words"])
-        & (F.col("mean_word_len") >= t["min_mean_word_len"])
-        & (F.col("mean_word_len") <= t["max_mean_word_len"])
-        & (F.col("symbol_word_ratio") <= t["max_symbol_word_ratio"])
-        & (F.col("bullet_frac") <= t["max_bullet_frac"])
-        & (F.col("ellipsis_frac") <= t["max_ellipsis_frac"])
-        & (F.col("alpha_word_frac") >= t["min_alpha_word_frac"])
-        & (F.col("stopword_hits") >= t["min_stopword_hits"])
-        & (F.col("dup_line_frac") <= t["max_dup_line_frac"])
-        & (F.col("dup_line_char_frac") <= t["max_dup_line_char_frac"])
-    )
+    if lang_col is not None:
+        keep = F.expr(gopher_keep_ml_expr(
+            _S, text_col, lang_col, thresholds,
+            s={name: name for name in sig}))
+    else:
+        keep = (
+            (F.col("n_words") >= t["min_words"])
+            & (F.col("n_words") <= t["max_words"])
+            & (F.col("mean_word_len") >= t["min_mean_word_len"])
+            & (F.col("mean_word_len") <= t["max_mean_word_len"])
+            & (F.col("symbol_word_ratio") <= t["max_symbol_word_ratio"])
+            & (F.col("bullet_frac") <= t["max_bullet_frac"])
+            & (F.col("ellipsis_frac") <= t["max_ellipsis_frac"])
+            & (F.col("alpha_word_frac") >= t["min_alpha_word_frac"])
+            & (F.col("stopword_hits") >= t["min_stopword_hits"])
+            & (F.col("dup_line_frac") <= t["max_dup_line_frac"])
+            & (F.col("dup_line_char_frac") <= t["max_dup_line_char_frac"])
+        )
     if engine == "udf":
         # the gate-only fast path: one vectorized Python pass per doc
         # (verdict-identical, parity-tested; ~10x the expression gate)
-        udf = make_gopher_keep_udf(thresholds, stopwords)
-        out = out.withColumn("gopher_keep", udf(F.col(text_col)))
+        if lang_col is not None:
+            udf = make_gopher_keep_ml_udf(thresholds)
+            out = out.withColumn("gopher_keep",
+                                 udf(F.col(text_col), F.col(lang_col)))
+        else:
+            udf = make_gopher_keep_udf(thresholds, stopwords)
+            out = out.withColumn("gopher_keep", udf(F.col(text_col)))
     else:
         out = out.withColumn("gopher_keep", keep)
     if not signals:
-        out = out.drop(*gopher_signal_exprs(_S, text_col, stopwords))
+        out = out.drop(*sig)
     return out
 
 
@@ -265,27 +470,35 @@ SENT_MARK = "\x1e"
 
 
 def c4_sentences_expr(d: str, text: str = "text") -> str:
-    """Sentence array: mark terminal-punctuation+space boundaries with a
+    """Sentence array: mark terminal-punctuation boundaries with a
     sentinel, then split - RE2 (DuckDB) has no lookbehind, so the
     mark-and-split form is the cross-engine sentence splitter.  Newlines
-    are boundaries too."""
+    are boundaries too.  CJK sentences end in IDEOGRAPHIC terminal
+    punctuation (。！？) with NO following space - those are boundaries
+    on their own."""
     from ccspark.sqlgen import rrep, split_arr
     marked = rrep(d, f"replace({text}, chr(10), '{SENT_MARK}')",
                   r"([.!?]) ", "\\1" + SENT_MARK)
+    marked = rrep(d, marked, "([。！？])", "\\1" + SENT_MARK)
     return split_arr(d, marked, SENT_MARK)
 
 
 def c4_line_keep_expr(d: str, line: str) -> str:
-    """C4 line gates: ends in terminal punctuation, >= 3 words, and no
-    'javascript' (case-insensitive)."""
-    from ccspark.sqlgen import rlike
+    """C4 line gates: ends in terminal punctuation (Latin OR ideographic -
+    a language-blind [.!?"] check structurally dropped every CJK line),
+    >= 3 words OR >= 6 space-free-script chars (CJK lines have no
+    spaces), and no 'javascript' (case-insensitive)."""
+    from ccspark import regexes as R
+    from ccspark.sqlgen import rcount, rlike
     words = f"(length({line}) - length(replace({line}, ' ', '')) + 1)"
     # \z (absolute end) not $: Java's $ also matches BEFORE a final
     # newline while RE2's does not - found by the cross-engine fuzz
-    term_pat = '[.!?"]\\z'
+    term_pat = '[.!?"。！？」』]\\z'
     term = rlike(d, line, term_pat)
+    cjk = rcount(d, line, R.CJKISH_CLASS)
     nojs = rlike(d, f"lower({line})", "javascript")
-    return f"({term} AND {words} >= 3 AND NOT {nojs})"
+    return (f"({term} AND ({words} >= 3 OR {cjk} >= 6) "
+            f"AND NOT {nojs})")
 
 
 def c4_page_keep_expr(d: str, text: str = "text",
@@ -411,14 +624,24 @@ def domain_quality(pages: DataFrame, text_col: str = "text",
     One scan + one aggregation; join the survivors back as a broadcast or
     bucketed gate."""
     g = gopher_quality(pages, text_col)
+
+    # cross-engine-deterministic mean: the per-page signals are 4-decimal
+    # doubles, so avg() would sum floats in engine-dependent order and can
+    # land on either side of a round(.,4) boundary (observed one ULP off
+    # vs DuckDB once the fixture gained CJK outlier values).  Summing the
+    # signals as EXACT integers (x10000) and dividing once is
+    # order-independent in both engines.
+    def exact_mean(col: str):
+        return F.round(
+            F.sum(F.round(F.col(col) * 10000).cast("long"))
+            / (F.count("*") * F.lit(10000.0)), 4)
+
     return (g.groupBy(domain_col)
             .agg(F.count("*").alias("n_pages"),
                  F.round(F.avg(F.col("gopher_keep").cast("double")), 4)
                  .alias("keep_frac"),
-                 F.round(F.avg("mean_word_len"), 4)
-                 .alias("avg_word_len"),
-                 F.round(F.avg("dup_line_frac"), 4)
-                 .alias("avg_dup_line_frac"))
+                 exact_mean("mean_word_len").alias("avg_word_len"),
+                 exact_mean("dup_line_frac").alias("avg_dup_line_frac"))
             .withColumn("domain_keep",
                         F.col("keep_frac") >= min_keep_frac))
 

@@ -394,21 +394,24 @@ SELECT doc_id, url,
 FROM pages"""
 
 
-# fixture-friendly Gopher override shared by the training_corpus pair:
-# the synthetic pages carry only 'the' from the stopword list
-TRAINING_GOPHER_TH = {"min_stopword_hits": 1}
+# Gopher override shared by the training_corpus pair - empty since r3:
+# the pages fixture now carries genuine per-language stopword lines, so
+# the default thresholds (incl. min_stopword_hits=2) hold as published.
+TRAINING_GOPHER_TH: dict = {}
 
 
 def q_training_corpus(d: str) -> str:
-    """The full quality_filter composite as ONE SQL statement: Gopher doc
-    gate + C4 page gate (scan-speed pruning BEFORE the explode) -> geo
+    """The full quality_filter composite as ONE SQL statement:
+    LANGUAGE-AWARE Gopher doc gate (per-lang stopwords, CJK-safe word
+    counts) + C4 page gate (scan-speed pruning BEFORE the explode) -> geo
     gate -> line kernel -> ordinal -> keep-first dedup -> PII scrub on the
     surviving lines.  The Spark side of this pair is the PRODUCTION facade
-    (api.CCSparkCorpus.build_training_corpus - pandas-UDF kernel and all),
-    so a green hash here verifies the whole composite end-to-end."""
-    from ccspark.quality import c4_page_keep_expr, gopher_keep_expr
-    gate = (f"({gopher_keep_expr(d, 'text', TRAINING_GOPHER_TH)} AND "
-            f"{c4_page_keep_expr(d, 'text')})")
+    (api.CCSparkCorpus.build_training_corpus - pandas-UDF gate + kernel
+    and all), so a green hash here verifies the whole composite
+    end-to-end."""
+    from ccspark.quality import c4_page_keep_expr, gopher_keep_ml_expr
+    gate = (f"({gopher_keep_ml_expr(d, 'text', 'lang', TRAINING_GOPHER_TH)}"
+            f" AND {c4_page_keep_expr(d, 'text')})")
     s = "text"
     s = rrep(d, s, RE_PII_EMAIL, "<EMAIL>")
     s = rrep(d, s, RE_PII_SSN, "<SSN>")
@@ -1637,10 +1640,48 @@ sig AS (
 )
 SELECT domain, cast(count(*) AS bigint) AS n_pages,
        round(avg(kept), 4) AS keep_frac,
-       round(avg(mwl), 4) AS avg_word_len,
-       round(avg(dlf), 4) AS avg_dup_line_frac,
+       round(sum(cast(round(mwl * 10000) AS bigint)) * 1e0
+             / (count(*) * 10000e0), 4) AS avg_word_len,
+       round(sum(cast(round(dlf * 10000) AS bigint)) * 1e0
+             / (count(*) * 10000e0), 4) AS avg_dup_line_frac,
        (round(avg(kept), 4) >= 0.5) AS domain_keep
 FROM sig GROUP BY domain"""
+
+
+def q_gopher_quality_ml(d: str) -> str:
+    """LANGUAGE-AWARE Gopher gate (per-row stopword sets from the lang
+    column, CJK-char word counting and token-shape-gate bypass for
+    space-free scripts) over the multilingual pages fixture - the r2
+    verdict's headline hole: a language-blind gate structurally drops
+    every valid CJK page and demands English stopwords of German ones.
+    The fixture carries genuine zh/ja/ko/de/es/fr content, so each path
+    is value-verified, not just typed."""
+    from ccspark.quality import gopher_keep_ml_expr, gopher_signal_exprs_ml
+    sig = gopher_signal_exprs_ml(d, "text", "lang")
+    cols = ",\n       ".join(f"{e} AS {name}" for name, e in sig.items())
+    keep = gopher_keep_ml_expr(d, "text", "lang")
+    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p)
+SELECT doc_id, lang,
+       {cols},
+       {keep} AS gopher_keep
+FROM pages"""
+
+
+def _mq_gopher_quality_ml(spark, sf_dir):
+    """The language-aware doc gate with the keep verdict computed by the
+    PRODUCTION vectorized pandas-UDF path (quality.make_gopher_keep_ml_udf
+    via gopher_quality(lang_col=..., engine='udf')); signals come from the
+    shared SQL fragments.  The DuckDB twin recomputes keep from the pure
+    SQL rendering, so a green hash verifies the production UDF against an
+    independent engine row-for-row (same pattern as lid_ngram)."""
+    from ccspark import quality
+    from ccspark.fixtures_sql import pages_spark
+    from ccspark.quality import gopher_signal_exprs_ml
+    from ccspark.sqlgen import SPARK as _S
+    pages = pages_spark(spark, sf_dir)
+    out = quality.gopher_quality(pages, lang_col="lang", engine="udf")
+    sig_names = list(gopher_signal_exprs_ml(_S).keys())
+    return out.select("doc_id", "lang", *sig_names, "gopher_keep")
 
 
 def _mq_lid_ngram(spark, sf_dir):
@@ -1680,6 +1721,7 @@ MODULE_QUERIES = {
     "salted_domain_counts": _mq_salted_domain_counts,
     "incremental_dedup": _mq_incremental_dedup,
     "domain_quality": _mq_domain_quality,
+    "gopher_quality_ml": _mq_gopher_quality_ml,
     "lid_ngram": _mq_lid_ngram,
     "ivf_ann": _mq_ivf_ann,
     "ivf_recall": _mq_ivf_recall,
@@ -1702,6 +1744,7 @@ MODULE_ORACLES = {
     "salted_domain_counts": _salted_counts_oracle(),
     "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
     "domain_quality": _domain_quality_oracle(),
+    "gopher_quality_ml": q_gopher_quality_ml(DUCK),
     "ivf_recall": _IVF_RECALL_ORACLE,
     "pq_recall": _PQ_RECALL_ORACLE,
 }

@@ -152,6 +152,14 @@ HANGUL_CLASS = ranges_class(HANGUL_ALPHA_RANGES)
 HIRAGANA_CLASS = ranges_class(HIRAGANA_ALPHA_RANGES)
 KATAKANA_CLASS = ranges_class(KATAKANA_ALPHA_RANGES)
 
+# One character of ANY space-free script (Han/Hangul/Kana) - the unit the
+# language-aware document gates count as a "word" for zh/ja/ko text (the
+# standard convention in multilingual Gopher-style filters: ideographs
+# don't use spaces, so token counts are meaningless for them).
+CJKISH_CLASS = ranges_class(
+    CJK_ALPHA_RANGES + HANGUL_ALPHA_RANGES
+    + HIRAGANA_ALPHA_RANGES + KATAKANA_ALPHA_RANGES)
+
 # "Alphabetic" test class.  Python str.isalpha() == Unicode category L*.
 # Java \p{L} and RE2 \p{L} both mean category L*, and both accept the
 # spelling below identically, so this one shorthand IS dialect-safe.
