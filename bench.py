@@ -73,8 +73,7 @@ def main() -> None:
         "pii_scrub",
         "media_meta",
         "union_segments",
-        "tpch_pricing_summary",
-        "top_customers_per_nation",
+        "relational_suite",      # 6 digest-folded TPC-H-table demos
         "events_sessionization",
         "gopher_quality",        # doc-level quality gate (scan-speed)
         "c4_span_dedup",         # global 3-sentence-span dedup (1 shuffle)
@@ -83,6 +82,17 @@ def main() -> None:
     for name in sql_queries:
         sql = Q.QUERY_BUILDERS[name](SPARK)
         timed(name, lambda s=sql: spark.sql(s).count())
+
+    # language-aware doc gate, production pandas-UDF path (the facade
+    # default since r3) vs its pure-expression rendering
+    from ccspark import quality
+    timed("gopher_quality_ml_udf",
+          lambda: quality.gopher_quality(pages, lang_col="lang",
+                                         signals=False, engine="udf")
+          .where("gopher_keep").count())
+    ml_sql = Q.q_gopher_quality_ml(SPARK)
+    timed("gopher_quality_ml_sql",
+          lambda: spark.sql(ml_sql).where("gopher_keep").count())
 
     # production LID serving path: model trained once (prep, excluded),
     # scoring via the Iterator pandas UDF (timed) - the SQL twin
