@@ -52,9 +52,14 @@ class CCSparkCorpus:
     def process_pages(self, pages: DataFrame) -> DataFrame:
         """pages table -> geo gate -> clean/keep kernel -> line ordinal ->
         keep-first dedup (corpus_lines schema)."""
-        df = pipeline.with_geo(pages, self.url_filter,
-                               self.countries_to_skip)
-        df = pipeline.explode_lines(df)
+        return self._lines_from_geo(
+            pipeline.with_geo(pages, self.url_filter,
+                              self.countries_to_skip))
+
+    def _lines_from_geo(self, geo_pages: DataFrame) -> DataFrame:
+        """Line pipeline over an already-geo-gated frame (explode ->
+        kernel -> ordinal -> keep-first dedup)."""
+        df = pipeline.explode_lines(geo_pages)
         df = pipeline.clean_and_filter(df)
         df = pipeline.number_and_hash(df)
         df = df.select("domain", "tld", "country", "region", "url",
@@ -65,7 +70,9 @@ class CCSparkCorpus:
                               gopher: bool = True, c4: bool = True,
                               scrub_pii: bool = True,
                               gopher_thresholds: dict | None = None,
-                              lang_aware: bool = True) -> DataFrame:
+                              lang_aware: bool = True,
+                              domain_min_keep: float | None = None
+                              ) -> DataFrame:
         """The quality_filter composite a modern training-data pipeline
         runs: document gates FIRST (Gopher + C4 page rules - scan-speed
         array projections that prune whole pages before the expensive
@@ -79,22 +86,43 @@ class CCSparkCorpus:
         CJK page and demands English stopwords of German ones.  Pass
         ``lang_aware=False`` for the static single-language gate.
 
+        ``domain_min_keep`` turns on the WHOLESALE domain gate: the
+        per-domain Gopher keep fraction is rolled up ONCE over the
+        geo-gated pages (quality.domain_quality - spam farms fail
+        wholesale, so judging the domain once is the cheapest pruning at
+        crawl scale) and only pages of domains at/above the threshold
+        continue.  The surviving-domain set is small, so it rejoins as a
+        BROADCAST left-semi join (plan-asserted in tests) - zero extra
+        shuffle.  The gated composite is hash-verified end-to-end
+        against its own one-statement DuckDB twin (driver query
+        ``training_corpus_domgate``).
+
         Scrub runs AFTER dedup on purpose: the dedup hash keys pre-scrub
         text (placeholders like <EMAIL> would otherwise collide distinct
         lines, and the kernel's strip_tags would eat the placeholders if
         scrubbed before cleaning).  The whole composite is hash-verified
         against a DuckDB SQL twin (driver query ``training_corpus``)."""
-        df = pages
+        lang_col = "lang" if (lang_aware and "lang" in pages.columns) \
+            else None
+        # geo gate FIRST: host/ccTLD/MNC is a cheap projection + two
+        # broadcast joins that prunes non-geographic pages before the doc
+        # gates' full text pass (the filters commute, so output is
+        # unchanged; the oracle twin has always been geo-first)
+        df = pipeline.with_geo(pages, self.url_filter,
+                               self.countries_to_skip)
+        if domain_min_keep is not None:
+            rollup = quality.domain_quality(df, lang_col=lang_col,
+                                            min_keep_frac=domain_min_keep)
+            good = rollup.where("domain_keep").select("domain")
+            df = df.join(F.broadcast(good), "domain", "left_semi")
         if gopher:
-            lang_col = "lang" if (lang_aware and "lang" in df.columns) \
-                else None
             df = (quality.gopher_quality(df, signals=False,
                                          thresholds=gopher_thresholds,
                                          engine="udf", lang_col=lang_col)
                   .where("gopher_keep").drop("gopher_keep"))
         if c4:
             df = quality.c4_page_filter(df)
-        lines = self.process_pages(df)
+        lines = self._lines_from_geo(df)
         if scrub_pii:
             lines = lines.withColumn("text", scrub_mod.scrub_col("text"))
         return lines

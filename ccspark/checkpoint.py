@@ -72,14 +72,18 @@ def build_resumable(spark: SparkSession, pages: DataFrame, root: str,
     n_processed = 0
     for b in todo:
         part = staged.where(F.col("_bucket") == b).drop("_bucket")
-        out = pipeline.corpus_lines(part)
+        # ONE kernel pass per bucket: corpus + metrics both derive from
+        # the same persisted verdict frame (running cell_metrics
+        # standalone used to re-run the pandas-UDF kernel - the single
+        # most expensive stage - a second time per bucket)
+        out, metrics, verdicts = pipeline.corpus_lines_with_metrics(part)
         data_path = os.path.join(root, "data", f"bucket={b}")
         out.write.mode("overwrite").parquet(data_path)
         n_rows = spark.read.parquet(data_path).count()
 
-        metrics = pipeline.cell_metrics(part)
         metrics.write.mode("overwrite").parquet(
             os.path.join(root, "metrics", f"bucket={b}"))
+        verdicts.unpersist()
 
         if fail_before_lineage is not None and \
                 n_processed + 1 >= fail_before_lineage:

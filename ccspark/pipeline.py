@@ -173,6 +173,37 @@ def cell_metrics(pages: DataFrame) -> DataFrame:
     )
 
 
+def corpus_lines_with_metrics(pages: DataFrame):
+    """ONE kernel pass for BOTH the corpus and the per-cell metrics.
+
+    cell_metrics standalone re-runs the pandas-UDF kernel - at crawl
+    scale that doubles the single most expensive stage.  Here the
+    verdict frame is computed once and persisted (memory-and-disk; on a
+    real cluster use DISK_ONLY or a staging table for the same effect),
+    and both outputs derive from it.  Returns (corpus, metrics,
+    verdicts); the caller unpersists *verdicts* after its actions
+    (checkpoint.build_resumable does).  Output-identical to
+    (corpus_lines(pages), cell_metrics(pages)) - asserted in tests."""
+    from pyspark import StorageLevel
+    if "lang" not in pages.columns:
+        pages = pages.withColumn("lang", F.lit("und"))
+    v = verdict_lines(explode_lines(with_geo(pages)))
+    v = v.persist(StorageLevel.MEMORY_AND_DISK)
+    kept = (v.where("keep")
+            .drop("raw_line", "keep", "drop_reason"))
+    kept = number_and_hash(kept)
+    cols = ["domain", "tld", "country", "region", "lang", "url",
+            "line_id", "text", "hash"]
+    corpus = dedup_keep_first(kept.select(*cols))
+    metrics = (
+        v.groupBy("region", "country", "lang")
+        .agg(F.count("*").alias("lines_seen"),
+             F.sum(F.col("keep").cast("long")).alias("lines_kept"),
+             F.sum((~F.col("keep")).cast("long")).alias("lines_dropped"),
+             F.countDistinct("url").alias("docs_seen")))
+    return corpus, metrics, v
+
+
 def write_partitioned(df: DataFrame, path: str,
                       max_records_per_file: int = 100_000,
                       partition_cols: tuple[str, ...] | None = None) -> None:

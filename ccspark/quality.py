@@ -616,14 +616,17 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text",
 
 def domain_quality(pages: DataFrame, text_col: str = "text",
                    domain_col: str = "domain",
-                   min_keep_frac: float = 0.5) -> DataFrame:
+                   min_keep_frac: float = 0.5,
+                   lang_col: str | None = None) -> DataFrame:
     """Domain-level quality rollup: per domain, the fraction of its pages
     passing the Gopher gate plus mean signals - drop whole domains whose
     keep fraction is below *min_keep_frac* (spam farms fail wholesale, so
     judging the domain once beats re-judging each of its million pages).
     One scan + one aggregation; join the survivors back as a broadcast or
-    bucketed gate."""
-    g = gopher_quality(pages, text_col)
+    bucketed gate (api.build_training_corpus(domain_min_keep=...) does
+    exactly that).  *lang_col*: judge each page with the language-aware
+    gate."""
+    g = gopher_quality(pages, text_col, lang_col=lang_col)
 
     # cross-engine-deterministic mean: the per-page signals are 4-decimal
     # doubles, so avg() would sum floats in engine-dependent order and can

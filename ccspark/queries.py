@@ -87,19 +87,24 @@ geo_pages AS (
 )"""
 
 
-def corpus_lines_cte(d: str, page_filter: str | None = None) -> str:
+def corpus_lines_cte(d: str, page_filter: str | None = None,
+                     extra_ctes: str = "") -> str:
     """geo_pages -> explode -> clean -> keep -> ordinal -> dedup(first).
     *page_filter*: optional boolean SQL over geo_pages columns (e.g. the
     Gopher/C4 document gates) applied BEFORE the explode - the composite
-    training-corpus shape prunes whole documents at scan speed first."""
+    training-corpus shape prunes whole documents at scan speed first.
+    *extra_ctes*: additional CTE definitions inserted after geo_pages
+    (e.g. the domain-quality rollup the page_filter may reference)."""
     cleaned = kernel.cleaned_expr(d, "raw_line")
     rules = kernel.rule_exprs(d, "raw_line", "text")
     post = " AND ".join(rules[k] for k in kernel.RULE_ORDER[1:])
     src = "geo_pages"
     gate = ""
+    if extra_ctes:
+        gate += ",\n" + extra_ctes
     if page_filter is not None:
-        gate = (f",\ngated_pages AS (SELECT * FROM geo_pages "
-                f"WHERE {page_filter})")
+        gate += (f",\ngated_pages AS (SELECT * FROM geo_pages "
+                 f"WHERE {page_filter})")
         src = "gated_pages"
     return f"""{geo_pages_cte(d)}{gate},
 raw_lines AS (SELECT * FROM {_posexplode_lines(d, src)} rl),
@@ -418,6 +423,41 @@ def q_training_corpus(d: str) -> str:
     s = rrep(d, s, RE_PII_IP, "<IP>")
     s = rrep(d, s, RE_PII_PHONE, "<PHONE>")
     return f"""WITH {corpus_lines_cte(d, page_filter=gate)}
+SELECT domain, tld, country, region, url, line_id, {s} AS text
+FROM corpus_lines"""
+
+
+# domain-gate threshold for the training_corpus_domgate pair: above
+# the fixture's weakest domain (keep_frac 0.625 at sf0.01) so the
+# gate PROVABLY prunes - a threshold nothing fails would be vacuous
+DOMGATE_MIN_KEEP = 0.7
+
+
+def q_training_corpus_domgate(d: str) -> str:
+    """The training composite with the WHOLESALE DOMAIN GATE on
+    (api.build_training_corpus(domain_min_keep=0.5)): the per-domain
+    Gopher keep fraction is rolled up once over the geo-gated pages and
+    pages of below-threshold domains are dropped before the doc gates.
+    Judging a spam farm once instead of per-page is the cheapest pruning
+    at crawl scale; the survivor-domain set is tiny, so the Spark side
+    rejoins it broadcast-left-semi (plan-asserted in tests)."""
+    from ccspark.quality import c4_page_keep_expr, gopher_keep_ml_expr
+    keep = gopher_keep_ml_expr(d, "text", "lang", TRAINING_GOPHER_TH)
+    rollup = f"""dq AS (
+  SELECT domain,
+         round(avg(CASE WHEN {keep} THEN 1e0 ELSE 0e0 END), 4) AS keep_frac
+  FROM geo_pages GROUP BY domain
+),
+good_domains AS (SELECT domain FROM dq WHERE keep_frac >= {DOMGATE_MIN_KEEP})"""
+    gate = (f"({keep} AND {c4_page_keep_expr(d, 'text')} AND "
+            f"domain IN (SELECT domain FROM good_domains))")
+    s = "text"
+    s = rrep(d, s, RE_PII_EMAIL, "<EMAIL>")
+    s = rrep(d, s, RE_PII_SSN, "<SSN>")
+    s = rrep(d, s, RE_PII_IP, "<IP>")
+    s = rrep(d, s, RE_PII_PHONE, "<PHONE>")
+    return f"""WITH {corpus_lines_cte(d, page_filter=gate,
+                                      extra_ctes=rollup)}
 SELECT domain, tld, country, region, url, line_id, {s} AS text
 FROM corpus_lines"""
 
@@ -1589,6 +1629,22 @@ def _mq_training_corpus(spark, sf_dir):
                       "line_id", "text")
 
 
+def _mq_training_corpus_domgate(spark, sf_dir):
+    """The PRODUCTION facade with the wholesale domain gate on
+    (broadcast-semi rejoin of the surviving domains), hash-compared
+    against the one-statement twin q_training_corpus_domgate(DUCK)."""
+    from ccspark.api import CCSparkCorpus
+    from ccspark.fixtures_sql import pages_spark
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = pages_spark(spark, sf_dir)
+    cc = CCSparkCorpus(spark)
+    out = cc.build_training_corpus(
+        pages, gopher_thresholds=TRAINING_GOPHER_TH,
+        domain_min_keep=DOMGATE_MIN_KEEP)
+    return out.select("domain", "tld", "country", "region", "url",
+                      "line_id", "text")
+
+
 def _mq_pq_recall(spark, sf_dir):
     """Assertion query for product quantization: PQ-shortlist(100) +
     exact-rerank recall@5 vs brute-force kNN.  Emits query vectors with
@@ -1773,6 +1829,7 @@ def _mq_dual_lid_agreement(spark, sf_dir):
 # ann_recall) is last so a driver cap can only ever skip it.
 MODULE_QUERIES = {
     "training_corpus": _mq_training_corpus,
+    "training_corpus_domgate": _mq_training_corpus_domgate,
     "gopher_quality_ml": _mq_gopher_quality_ml,
     "lid_ngram": _mq_lid_ngram,
     "dual_lid_agreement": _mq_dual_lid_agreement,
@@ -1790,6 +1847,7 @@ MODULE_QUERIES = {
 # invariant of their output in SQL (driver hash-compares as usual).
 MODULE_ORACLES = {
     "training_corpus": q_training_corpus(DUCK),
+    "training_corpus_domgate": q_training_corpus_domgate(DUCK),
     # the Iterator-UDF LID path is prediction-identical to the SQL twin
     # (tests/test_lid.py asserts it), so the twin IS its oracle: the
     # PRODUCTION pandas-UDF scorer gets hash-compared against DuckDB

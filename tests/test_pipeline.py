@@ -158,3 +158,21 @@ def test_corpus_lines_observed_free_metrics(spark):
     assert got["lines_kept"] == sum(r.lines_kept for r in cm)
     assert got["lines_gated"] <= sum(r.lines_seen for r in cm)
     assert got["docs_seen_approx"] > 0
+
+
+def test_corpus_lines_with_metrics_single_pass_equivalence(spark):
+    """corpus_lines_with_metrics (ONE persisted kernel pass) must be
+    output-identical to running corpus_lines and cell_metrics separately
+    (two kernel passes)."""
+    from ccspark.fixtures_sql import pages_spark
+    pages = pages_spark(spark, "/root/testdata/sf0.001", materialize=True)
+    corpus, metrics, v = pipeline.corpus_lines_with_metrics(pages)
+    got_c = sorted((r.url, r.line_id, r.text, r.hash)
+                   for r in corpus.collect())
+    got_m = sorted(map(tuple, metrics.collect()))
+    v.unpersist()
+    want_c = sorted((r.url, r.line_id, r.text, r.hash)
+                    for r in pipeline.corpus_lines(pages).collect())
+    want_m = sorted(map(tuple, pipeline.cell_metrics(pages).collect()))
+    assert got_c == want_c
+    assert got_m == want_m

@@ -65,3 +65,27 @@ def test_composite_doc_gates_run_before_explode(spark):
     # still at most the flagship's two shuffles
     shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
     assert shuffles <= 2, shuffles
+
+
+def test_domain_gate_joins_broadcast_semi(spark):
+    """The wholesale domain gate (build_training_corpus(domain_min_keep=
+    ...)) must rejoin the surviving-domain set as a BROADCAST left-semi
+    join - the survivor set is tiny, so a shuffle there would be a plan
+    bug at crawl scale."""
+    from ccspark.api import CCSparkCorpus
+    pages = pages_spark(spark, "/root/testdata/sf0.001", materialize=True)
+    out = CCSparkCorpus(spark).build_training_corpus(
+        pages, domain_min_keep=0.7, scrub_pii=False)
+    plan = plan_of(out)
+    semi = [ln for ln in plan.splitlines()
+            if "LeftSemi" in ln and "domain" in ln]
+    assert semi, plan
+    assert all("BroadcastHashJoin" in ln for ln in semi), semi
+    # the gate itself must not shuffle the big side: the only exchange it
+    # may add is the rollup's own groupBy(domain) aggregation (a narrow
+    # (domain, signals) frame), on top of the composite's two
+    base = plan_of(CCSparkCorpus(spark).build_training_corpus(
+        pages, scrub_pii=False))
+    n_ex = lambda p: len([ln for ln in p.splitlines()
+                          if re.search(r"\bExchange hashpartitioning", ln)])
+    assert n_ex(plan) == n_ex(base) + 1, (n_ex(plan), n_ex(base))
