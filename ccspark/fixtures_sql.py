@@ -34,9 +34,22 @@ from ccspark.sqlgen import SPARK
 
 
 def pages_subquery(d: str, docs_rel: str = "documents") -> str:
+    """Pages relation for query templates: on the DuckDB side the full
+    inline synthesis; on the Spark side a reference to the ``pages_src``
+    temp view (registered by queries.ensure_views over the materialized
+    parquet - byte-identical content, but the scan-based plan keeps the
+    big synthesis CASEs out of whole-stage codegen and gets real
+    pushdown/pruning)."""
+    from ccspark.sqlgen import SPARK as _S
+    if d == _S:
+        return "(SELECT doc_id, url, text, lang FROM pages_src)"
+    return pages_synthesis_sql(d, docs_rel)
+
+
+def pages_synthesis_sql(d: str, docs_rel: str = "documents") -> str:
     """A subquery (incl. surrounding parens) producing the pages table with
     columns (doc_id, url, text, lang).  `warc_ts`/`html` are added only on
-    the Spark side (ccspark.pipeline.attach_page_extras) - timestamps and
+    the Spark side (pages_spark materialization) - timestamps and
     binaries don't survive the driver's cross-engine value-hash, and the
     kernel never reads them (column pruning is part of the design)."""
     # one of 10 (sub).domain.suffix shapes, keyed by doc_id
@@ -126,21 +139,38 @@ def pages_subquery(d: str, docs_rel: str = "documents") -> str:
     )
 
 
-def pages_spark(spark, sf_dir: str, materialize: bool = False):
+def _synthesis_fingerprint() -> str:
+    """Content hash of the Spark-side synthesis SQL: the materialized
+    parquet cache is keyed by it, so editing THIS FILE can never serve a
+    stale cache (the round-2 foot-gun was a manual rm -rf)."""
+    import hashlib
+    return hashlib.md5(pages_synthesis_sql(SPARK).encode()).hexdigest()[:10]
+
+
+def pages_cache_path(sf_dir: str) -> str:
+    import os
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/ccspark_pages_{tag}_{_synthesis_fingerprint()}.parquet"
+
+
+def pages_spark(spark, sf_dir: str, materialize: bool = True):
     """Spark DataFrame of synthesized pages for a testdata scale dir.
 
-    With materialize=True the pages are written to a local parquet dir once
-    and read back - the realistic shape (the pipeline's contract input is a
-    *stored* Iceberg/parquet table), and it keeps the synthesis expressions
-    out of downstream plans."""
+    With materialize=True (default) the pages are written to a local
+    parquet dir once and read back - the realistic shape (the pipeline's
+    contract input is a *stored* Iceberg/parquet table), it keeps the
+    synthesis expressions out of downstream plans (the r3 multilingual
+    synthesis CASEs pushed whole-stage codegen past the 64KB method
+    limit when inlined everywhere), and scans get real pushdown/pruning.
+    The cache path is fingerprinted by the synthesis SQL, so edits here
+    auto-invalidate it."""
     import os
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents")
-    df = spark.sql(f"SELECT * FROM {pages_subquery(SPARK)} AS pages")
+    df = spark.sql(f"SELECT * FROM {pages_synthesis_sql(SPARK)} AS pages")
     if not materialize:
         return df
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/ccspark_pages_{tag}.parquet"
+    path = pages_cache_path(sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         # full input_hint schema: (url, warc_ts, html binary, text, lang).
         # html is a deterministic wrapper the kernel never reads - it

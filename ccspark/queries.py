@@ -52,6 +52,14 @@ def ensure_views(spark, sf_dir: str) -> None:
                          ("country_iso3", geo.country_iso3_dim),
                          ("lang_iso2_iso3", geo.lang_iso3_dim)):
         loader(spark).createOrReplaceTempView(f"dim_{name}")
+    # Spark-side pages relation: the synthesis materialized ONCE to
+    # parquet (content-fingerprinted cache) and registered as pages_src -
+    # templates scan a stored table instead of re-inlining the big
+    # multilingual synthesis CASEs into every plan (64KB codegen)
+    from ccspark.fixtures_sql import pages_spark
+    (pages_spark(spark, sf_dir, materialize=True)
+     .select("doc_id", "url", "text", "lang")
+     .createOrReplaceTempView("pages_src"))
 
 
 def _posexplode_lines(d: str, src: str) -> str:
