@@ -128,8 +128,30 @@ def process_page(text: str):
 
 
 def make_clean_verdict_udf():
-    """pandas UDF: raw_line -> struct<text string, keep boolean,
-    drop_reason string>, one Arrow batch at a time."""
+    """Production kernel UDF: raw_line -> struct<text string, keep boolean,
+    drop_reason string>, one Arrow batch at a time.
+
+    Implementation is selected by the CCSPARK_KERNEL env var (read on the
+    DRIVER at plan-build time; the chosen function ships in the serialized
+    UDF, so executors need no env):
+
+      arrow (default) - ccspark.arrowkernel: whole-batch pyarrow.compute
+              string kernels (RE2, C++), row-for-row identical to the
+              loop below (fixture + hypothesis parity tests), measured
+              2-3x the per-row throughput on crawl text.
+      py    - the per-row loop in this module (the round-1/2 production
+              path; keeps working where pyarrow regex kernels are
+              unavailable, and is the parity anchor for the arrow path).
+    """
+    import os
+    if os.environ.get("CCSPARK_KERNEL", "arrow") == "arrow":
+        from ccspark import arrowkernel
+        return arrowkernel.make_clean_verdict_udf()
+    return make_clean_verdict_udf_py()
+
+
+def make_clean_verdict_udf_py():
+    """The per-row rendering (see make_clean_verdict_udf)."""
     import pandas  # noqa: F401 - resolved lazily so a bare import of this
     from pyspark.sql.functions import pandas_udf  # module needs no Spark
 

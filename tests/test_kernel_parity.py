@@ -34,6 +34,21 @@ def test_pykernel_matches_oracle():
         assert pykernel.verdict(raw) == oracle.verdict(raw), case_id
 
 
+def test_arrowkernel_matches_oracle():
+    """5th rendering: the Arrow/RE2 whole-batch kernel on the same
+    boundary fixtures (drop_reason labels included)."""
+    import pyarrow as pa
+
+    from ccspark import arrowkernel
+
+    raws = [raw for _, raw in LINE_CASES]
+    text, keep, reason = arrowkernel.verdict_batch(
+        pa.array(raws, type=pa.string()))
+    for i, (case_id, raw) in enumerate(LINE_CASES):
+        assert (text[i], bool(keep[i]), reason[i]) == oracle.verdict(raw), \
+            case_id
+
+
 def test_spark_sql_kernel_matches_oracle(spark):
     exp = oracle_frame()
     df = spark.createDataFrame(exp[["case_id", "raw"]])

@@ -59,3 +59,19 @@ def test_clean_second_pass_stable(line):
 def test_page_counter_dense(text):
     kept = oracle.process_page(text)
     assert [n for n, _ in kept] == list(range(1, len(kept) + 1))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(LINES | st.none(), min_size=0, max_size=40))
+def test_arrowkernel_batch_equals_pykernel(lines):
+    """The Arrow/RE2 whole-batch kernel is row-for-row identical to the
+    per-row Python kernel (which itself equals the independent oracle
+    above) - including None inputs and the drop_reason label."""
+    import pyarrow as pa
+
+    from ccspark import arrowkernel
+
+    text, keep, reason = arrowkernel.verdict_batch(
+        pa.array(lines, type=pa.string()))
+    for i, line in enumerate(lines):
+        assert (text[i], bool(keep[i]), reason[i]) == pykernel.verdict(line)
