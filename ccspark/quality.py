@@ -315,12 +315,25 @@ def gopher_keep_ml_expr(d: str, text: str = "text", lang: str = "lang",
 
 
 def make_gopher_keep_ml_udf(thresholds: dict | None = None):
-    """The language-aware Gopher gate as ONE vectorized pandas pass per
-    (text, lang) pair - the production fast path (same economics as
-    make_gopher_keep_udf: each doc is scanned once instead of once per
-    Catalyst check).  Verdict-identical to gopher_keep_ml_expr,
-    parity-tested per row on a mixed-language boundary fixture incl. the
-    round(.,4) HALF_UP threshold edges."""
+    """The language-aware Gopher gate, one vectorized pass per
+    (text, lang) pair.  Dispatches on CCSPARK_KERNEL like the line
+    kernel (ccspark.pykernel.make_clean_verdict_udf): 'arrow' (default)
+    -> whole-batch pyarrow.compute rendering in ccspark.arrowgate;
+    'py' -> the per-row loop below (the parity anchor)."""
+    import os
+    if os.environ.get("CCSPARK_KERNEL", "arrow") == "arrow":
+        from ccspark import arrowgate
+        return arrowgate.make_gopher_keep_ml_udf(thresholds)
+    return make_gopher_keep_ml_udf_py(thresholds)
+
+
+def make_gopher_keep_ml_udf_py(thresholds: dict | None = None):
+    """Per-row rendering of the language-aware gate (see
+    make_gopher_keep_ml_udf) - the production fast path before round 3
+    (same economics as make_gopher_keep_udf: each doc is scanned once
+    instead of once per Catalyst check).  Verdict-identical to
+    gopher_keep_ml_expr, parity-tested per row on a mixed-language
+    boundary fixture incl. the round(.,4) HALF_UP threshold edges."""
     import re as _re
 
     import pandas  # noqa: F401
@@ -660,8 +673,21 @@ def _round4(x: float) -> float:
 
 def make_gopher_keep_udf(thresholds: dict | None = None,
                          stopwords: tuple = GOPHER_STOPWORDS):
-    """The Gopher gate as ONE vectorized pandas pass per document - the
-    same lesson the line kernel taught (CLAUDE.md): Spark 4 evaluates a
+    """The static-stopword Gopher gate, one vectorized pass per document.
+    Dispatches on CCSPARK_KERNEL like the line kernel: 'arrow' (default)
+    -> whole-batch pyarrow.compute rendering in ccspark.arrowgate;
+    'py' -> the per-row loop below (the parity anchor)."""
+    import os
+    if os.environ.get("CCSPARK_KERNEL", "arrow") == "arrow":
+        from ccspark import arrowgate
+        return arrowgate.make_gopher_keep_udf(thresholds, stopwords)
+    return make_gopher_keep_udf_py(thresholds, stopwords)
+
+
+def make_gopher_keep_udf_py(thresholds: dict | None = None,
+                            stopwords: tuple = GOPHER_STOPWORDS):
+    """Per-row rendering (see make_gopher_keep_udf) - the same lesson the
+    line kernel taught (CLAUDE.md): Spark 4 evaluates a
     many-regex/HOF expression chain per check with no sharing (measured
     26s for the expression gate over 3M docs vs ~2s here), while a single
     Python pass computes every signal once.  Verdict-identical to

@@ -335,3 +335,50 @@ def test_c4_line_gate_accepts_cjk_terminal_punctuation(spark, duck):
             "SELECT " + quality.c4_line_keep_expr(DUCK, "l")
             + f" AS k FROM (SELECT '{line}' AS l)").fetchone()[0]
         assert s == d == want, (line, s, d)
+
+
+def test_arrow_gate_matches_py_gate(spark):
+    """The Arrow/RE2 whole-batch gate (ccspark.arrowgate, the
+    CCSPARK_KERNEL=arrow default) is verdict-identical to the per-row
+    loop (the parity anchor) - static AND language-aware renderings -
+    on every purpose-built violating doc, the multilingual fixture,
+    nulls, boundary docs, and a seeded adversarial batch."""
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from ccspark import arrowgate
+
+    py_ml = quality.make_gopher_keep_ml_udf_py().func
+    py_st = quality.make_gopher_keep_udf_py().func
+
+    texts = ([tx for _, tx in ML_DOCS.values()] + list(DOCS.values())
+             + [None, "", " ".join(["abc"] * 60) + " x y",
+                # resume-re-anchoring traps: pyarrow count_substring_regex
+                # re-anchors ^ at every match-resume point, so "- - " or
+                # "* * " prefixes and 4+-dot runs overcount under the
+                # naive (?m)^/$ patterns (see arrowgate docstring)
+                "- - " + GOOD, "* * " + GOOD, GOOD + "......",
+                ("- " + GOOD_LINE + "\n") * 3 + GOOD])
+    langs = ([lg for lg, _ in ML_DOCS.values()] + ["en"] * len(DOCS)
+             + ["zh", None, "en", "en", "en", "en", "en"])
+    rng = random.Random(5)
+    frag = ("the und der 中文測試 data # … - x\n* y…\nder die und das von "
+            "mit ist auf haus ...")
+    for _ in range(400):
+        k = rng.randint(0, 40)
+        parts = [frag[rng.randint(0, len(frag) - 1):] for _ in range(k)]
+        texts.append(" ".join(parts)[: rng.randint(0, 2000)])
+        langs.append(rng.choice(["en", "de", "zh", "ja", "ko", "fi", None]))
+
+    exp_ml = py_ml(pd.Series(texts), pd.Series(langs)).tolist()
+    got_ml = arrowgate.gopher_keep_batch(
+        pa.array(texts, type=pa.string()),
+        pa.array(langs, type=pa.string())).tolist()
+    assert [bool(x) for x in exp_ml] == [bool(x) for x in got_ml]
+
+    exp_st = py_st(pd.Series(texts)).tolist()
+    got_st = arrowgate.gopher_keep_batch(
+        pa.array(texts, type=pa.string())).tolist()
+    assert [bool(x) for x in exp_st] == [bool(x) for x in got_st]
