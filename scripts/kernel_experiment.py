@@ -91,9 +91,18 @@ def main() -> None:
     n = pages.count()
 
     def run(name):
+        import os
         cached = None
-        if name == "udf":
-            mk = lambda: (pipeline.corpus_lines(pages), None)  # noqa: E731
+        if name in ("udf", "udf_py"):
+            # kernel implementation is chosen at plan-build time from
+            # CCSPARK_KERNEL: udf = arrow (production default),
+            # udf_py = the per-row loop (pre-round-3 production path)
+            def mk(_k="py" if name == "udf_py" else "arrow"):
+                os.environ["CCSPARK_KERNEL"] = _k
+                try:
+                    return pipeline.corpus_lines(pages), None
+                finally:
+                    os.environ.pop("CCSPARK_KERNEL", None)
         else:
             mk = lambda: catalyst_corpus_lines(pages, name)    # noqa: E731
         df, cached = mk()
@@ -113,7 +122,7 @@ def main() -> None:
                 "docs_per_sec": round(n / t, 1)}
 
     variants = (sys.argv[3].split(",") if len(sys.argv) > 3 else
-                ("udf", "catalyst", "persist", "localckpt"))
+                ("udf", "udf_py", "catalyst", "persist", "localckpt"))
     results = [run(v) for v in variants]
     # equivalence check on a small slice (full-run row counts already equal)
     base = results[0]["rows"]
