@@ -5,9 +5,14 @@ T_N / (4 * T_4N).  Default N=4 (so 4N=16 stays within the 32-CPU box:
 local-mode JVM task threads + python UDF workers both burn CPU, and
 oversubscribing the host would understate the scaling a real 4N-executor
 cluster achieves; override with SCALING_N).  Run in separate subprocesses (one SparkContext each);
-input is the sf0.1 pages replicated 10x (50k docs, distinct urls per
+input is the sf0.1 pages replicated (sized by argv[1], distinct urls per
 replica) so compute dominates fixed overheads.  Appends results to
 BENCH.md.
+
+Size bound: replicas beyond ~1800 (9M docs) overflow the 24g local
+JVM heap once the input is persisted (MEMORY_AND_DISK cache thrash at
+27M docs) - at larger sizes switch the persist to DISK_ONLY or run on a
+real cluster; the 9M-doc quiet-host sample is the headline number.
 
 Usage: python scripts/scaling_evidence.py [replicas]
 """
