@@ -57,14 +57,14 @@ class CCSparkCorpus:
                               self.countries_to_skip))
 
     def _lines_from_geo(self, geo_pages: DataFrame) -> DataFrame:
-        """Line pipeline over an already-geo-gated frame (explode ->
-        kernel -> ordinal -> keep-first dedup)."""
-        df = pipeline.explode_lines(geo_pages)
-        df = pipeline.clean_and_filter(df)
+        """Line pipeline over an already-geo-gated frame (fused
+        explode+kernel Arrow stage -> ordinal -> keep-first dedup; see
+        pipeline.exploded_kept_lines for the CCSPARK_KERNEL dispatch)."""
+        cols = ["domain", "tld", "country", "region", "url"]
+        df = pipeline.exploded_kept_lines(geo_pages, cols)
         df = pipeline.number_and_hash(df)
-        df = df.select("domain", "tld", "country", "region", "url",
-                       "line_id", "text", "hash")
-        return pipeline.dedup_keep_first(df)
+        return pipeline.dedup_keep_first(
+            df.select(*cols, "line_id", "text", "hash"))
 
     def build_training_corpus(self, pages: DataFrame,
                               gopher: bool = True, c4: bool = True,

@@ -82,6 +82,99 @@ def clean_and_filter(lines: DataFrame) -> DataFrame:
     )
 
 
+def explode_clean_fused(geo_pages: DataFrame,
+                        pages_per_chunk: int = 4096) -> DataFrame:
+    """F5 + F6-F13 FUSED into one ``mapInArrow`` stage (arrow-kernel
+    production path): the line split (RE2 ``split_pattern_regex``, same
+    dialect-neutral pattern as the JVM split), the raw-length gate, and
+    the whole-batch clean/verdict kernel all run inside a single
+    Arrow-native Python stage, and only KEPT lines come back out.
+
+    Why this beats explode-then-UDF (measured 1.34x on the full flagship,
+    1.6x on explode+kernel alone at 3M docs):
+
+      * pages cross the JVM->Python Arrow boundary ONCE - the staged
+        form transfers every line with its url/domain/... columns
+        duplicated per line;
+      * the JVM regex split (the single most expensive stage after the
+        round-3 kernel work, ~7s of a 15s flagship run at 3M docs)
+        becomes an RE2 batch kernel;
+      * this is NOT the round-1 "page-at-a-time UDF returning
+        array<struct>" shape that measured 4.6x slower - mapInArrow
+        emits flat RecordBatches, so no Arrow nested-type serialization.
+
+    Output columns: every non-``text`` input column + (pos int, text
+    string) - identical rows (asserted bitwise in tests) to
+    ``clean_and_filter(explode_lines(geo_pages))``.
+
+    CALLER MUST PRUNE FIRST: ``mapInArrow`` is a projection barrier, so
+    select only the columns the downstream plan needs (in particular not
+    ``html``) before calling.  *pages_per_chunk* bounds the per-worker
+    memory spike (one incoming batch can carry
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` pages; each chunk
+    materializes its lines ~3 times during the kernel passes)."""
+    keep_cols = [c for c in geo_pages.columns if c != "text"]
+    passthrough = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in geo_pages.schema.fields if f.name != "text")
+    schema = f"{passthrough}, pos int, text string"
+
+    def fused(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ccspark import arrowkernel
+        from ccspark.regexes import RE_LINE_SPLIT as pat
+
+        for batch in batches:
+            for start in range(0, batch.num_rows, pages_per_chunk):
+                chunk = batch.slice(start, pages_per_chunk)
+                text = chunk.column(chunk.schema.get_field_index("text"))
+                ll = pc.split_pattern_regex(text, pat)
+                flat = pc.list_flatten(ll)
+                parents = pc.list_parent_indices(ll).to_numpy(
+                    zero_copy_only=False)
+                lens = pc.fill_null(pc.list_value_length(ll), 0).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                starts = np.zeros(len(lens) + 1, dtype=np.int64)
+                np.cumsum(lens, out=starts[1:])
+                pos = np.arange(len(flat), dtype=np.int64) - starts[parents]
+                cleaned, keep, _ = arrowkernel.verdict_batch(flat)
+                idx = np.flatnonzero(keep)
+                take = pa.array(parents[idx])
+                cols = [chunk.column(chunk.schema.get_field_index(c))
+                        .take(take) for c in keep_cols]
+                yield pa.RecordBatch.from_arrays(
+                    cols + [pa.array(pos[idx].astype(np.int32)),
+                            pa.array(cleaned[idx], type=pa.string())],
+                    names=keep_cols + ["pos", "text"])
+
+    return geo_pages.mapInArrow(fused, schema)
+
+
+def _corpus_line_cols(df: DataFrame) -> list[str]:
+    cols = ["domain", "tld", "country", "region", "url"]
+    if "lang" in df.columns:
+        cols.insert(4, "lang")
+    return cols
+
+
+def exploded_kept_lines(geo_pages: DataFrame,
+                        cols: list[str] | None = None) -> DataFrame:
+    """The explode -> clean -> keep front-end of the flagship, with the
+    implementation chosen by CCSPARK_KERNEL: the fused mapInArrow stage
+    (arrow, default) or the staged posexplode + pandas-UDF form (py).
+    *cols* = passthrough columns to carry (pruned BEFORE the Python
+    barrier); returns cols + (pos, text)."""
+    import os
+    cols = cols if cols is not None else _corpus_line_cols(geo_pages)
+    if os.environ.get("CCSPARK_KERNEL", "arrow") == "arrow":
+        return explode_clean_fused(geo_pages.select(*cols, "text"))
+    df = clean_and_filter(explode_lines(geo_pages))
+    return df.select(*cols, "pos", "text")
+
+
 def verdict_lines(lines: DataFrame) -> DataFrame:
     """Like clean_and_filter but keeps every raw line, adding
     (keep boolean, drop_reason string) - feeds the metrics/lineage tables
@@ -131,25 +224,22 @@ def corpus_lines(pages: DataFrame) -> DataFrame:
     line frame (Domain, Country, URL, LineID, Text, Hash - cc_corpus.py:315)
     plus region/tld.
 
-    Plan shape: scan -> broadcast joins -> JVM explode + cheap raw-length
-    gate -> ONE flat-struct pandas UDF (clean+verdict) -> url-window
-    ordinal -> hash-aggregate dedup.  A page-at-a-time UDF returning
-    array<struct> was measured 4.6x slower than this (Arrow nested-return
-    serialization dominates); the flat line-level UDF wins despite the
-    extra explode + window."""
+    Plan shape: scan -> broadcast joins -> ONE fused Arrow stage
+    (RE2 line split + clean + verdict, kept lines only - see
+    explode_clean_fused; CCSPARK_KERNEL=py reverts to the staged
+    posexplode + flat-struct pandas UDF) -> url-window ordinal ->
+    hash-aggregate dedup.  A page-at-a-time UDF returning array<struct>
+    was measured 4.6x slower than the staged form (Arrow nested-return
+    serialization dominates); the fused form instead emits flat
+    RecordBatches and beats both."""
     df = with_geo(pages)
-    df = explode_lines(df)
-    df = clean_and_filter(df)
+    cols = _corpus_line_cols(df)
+    # the explicit projection here doubles as the html-pruning barrier:
+    # only these columns + text enter the Python stage, and only these +
+    # (line_id, text, hash) reach the dedup aggregate's payload struct
+    df = exploded_kept_lines(df, cols)
     df = number_and_hash(df)
-    # project to the output columns BEFORE dedup: the keep-first aggregate
-    # packs its payload into a struct, which would otherwise smuggle every
-    # upstream column (html!) past Catalyst's column pruning
-    cols = ["domain", "tld", "country", "region", "url",
-            "line_id", "text", "hash"]
-    if "lang" in df.columns:       # expected language travels with the line
-        cols.insert(4, "lang")     # (reference partitions output by it)
-    df = df.select(*cols)
-    return dedup_keep_first(df)
+    return dedup_keep_first(df.select(*cols, "line_id", "text", "hash"))
 
 
 def cell_metrics(pages: DataFrame) -> DataFrame:

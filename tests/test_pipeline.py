@@ -176,3 +176,58 @@ def test_corpus_lines_with_metrics_single_pass_equivalence(spark):
     want_m = sorted(map(tuple, pipeline.cell_metrics(pages).collect()))
     assert got_c == want_c
     assert got_m == want_m
+
+
+def test_fused_explode_clean_matches_staged(spark):
+    """The fused mapInArrow explode+kernel stage (arrow production path)
+    is ROW-IDENTICAL to the staged posexplode + UDF form - on the
+    fixture corpus AND on crafted edge pages (null/empty text, CRLF,
+    unicode line breaks, pages whose every line is dropped)."""
+    from tests.fixtures import LINE_CASES
+
+    from ccspark.fixtures_sql import pages_spark
+
+    edge = spark.createDataFrame(
+        [Row(doc_id=0, url="https://edge.de/none", text=None, lang="en"),
+         Row(doc_id=1, url="https://edge.de/empty", text="", lang="en"),
+         Row(doc_id=2, url="https://edge.de/crlf",
+             text=f"{GOOD}\r\n{GOOD2}\rshort\n\n{GOOD}", lang="en"),
+         Row(doc_id=3, url="https://edge.de/uni",
+             text=GOOD + "\u2028" + GOOD2 + "\u0085" + GOOD, lang="en"),
+         Row(doc_id=4, url="https://edge.de/alldrop",
+             text="short\n|||| bad pipes line that is long enough here",
+             lang="en"),
+         Row(doc_id=5, url="https://edge.de/cases",
+             text="\n".join(raw for _, raw in LINE_CASES), lang="en")],
+        "doc_id long, url string, text string, lang string")
+    frames = [pages_spark(spark, "/root/testdata/sf0.001"), edge]
+    for pages in frames:
+        geo = pipeline.with_geo(pages)
+        cols = pipeline._corpus_line_cols(geo)
+        staged = (pipeline.clean_and_filter(pipeline.explode_lines(geo))
+                  .select(*cols, "pos", "text"))
+        fused = pipeline.explode_clean_fused(geo.select(*cols, "text"))
+        a = sorted(map(tuple, staged.collect()))
+        b = sorted(map(tuple, fused.collect()))
+        assert a == b, (len(a), len(b))
+        assert a or pages is edge
+
+
+def test_corpus_lines_arrow_py_paths_identical(spark):
+    """corpus_lines under CCSPARK_KERNEL=arrow (fused) and =py (staged
+    pandas UDF) return the same rows bitwise."""
+    from ccspark.fixtures_sql import pages_spark
+
+    pages = pages_spark(spark, "/root/testdata/sf0.001")
+    old = os.environ.get("CCSPARK_KERNEL")
+    try:
+        os.environ["CCSPARK_KERNEL"] = "py"
+        a = sorted(map(tuple, pipeline.corpus_lines(pages).collect()))
+        os.environ["CCSPARK_KERNEL"] = "arrow"
+        b = sorted(map(tuple, pipeline.corpus_lines(pages).collect()))
+    finally:
+        if old is None:
+            os.environ.pop("CCSPARK_KERNEL", None)
+        else:
+            os.environ["CCSPARK_KERNEL"] = old
+    assert a == b and len(a) > 0

@@ -56,7 +56,10 @@ def test_composite_doc_gates_run_before_explode(spark):
     out = CCSparkCorpus(spark).build_training_corpus(pages)
     plan = plan_of(out)
     lines = plan.splitlines()
-    gen = min(i for i, ln in enumerate(lines) if "Generate" in ln)
+    # the line blow-up is a Generate (posexplode, staged py path) or the
+    # fused MapInArrow stage (arrow path, split happens inside it)
+    gen = min(i for i, ln in enumerate(lines)
+              if "Generate" in ln or "MapInArrow" in ln)
     gates = [i for i, ln in enumerate(lines)
              if "Filter" in ln and "size(filter(" in ln]
     assert gates, plan
