@@ -115,17 +115,53 @@ class CCSparkCorpus:
                                             min_keep_frac=domain_min_keep)
             good = rollup.where("domain_keep").select("domain")
             df = df.join(F.broadcast(good), "domain", "left_semi")
-        if gopher:
-            df = (quality.gopher_quality(df, signals=False,
-                                         thresholds=gopher_thresholds,
-                                         engine="udf", lang_col=lang_col)
-                  .where("gopher_keep").drop("gopher_keep"))
+        # C4 page rules first (a pure page predicate - commutes with the
+        # Gopher gate), so the Gopher gate can fuse into the line stage
         if c4:
             df = quality.c4_page_filter(df)
-        lines = self._lines_from_geo(df)
+        import os
+        fused = os.environ.get("CCSPARK_KERNEL", "arrow") == "arrow"
+        if gopher and fused:
+            # Gopher gate FUSED into the mapInArrow line stage: page text
+            # crosses the JVM->Python boundary ONCE for gate + split +
+            # kernel (reuses the parity-proven arrowgate batch gate -
+            # identical keep set to the staged gopher_quality stage)
+            lines = self._fused_gated_lines(df, lang_col,
+                                            gopher_thresholds)
+        else:
+            if gopher:
+                df = (quality.gopher_quality(df, signals=False,
+                                             thresholds=gopher_thresholds,
+                                             engine="udf",
+                                             lang_col=lang_col)
+                      .where("gopher_keep").drop("gopher_keep"))
+            lines = self._lines_from_geo(df)
         if scrub_pii:
             lines = lines.withColumn("text", scrub_mod.scrub_col("text"))
         return lines
+
+    def _fused_gated_lines(self, geo_pages: DataFrame,
+                           lang_col: str | None,
+                           thresholds: dict | None) -> DataFrame:
+        """Line pipeline with the Gopher document gate fused into the
+        single mapInArrow stage (see pipeline.explode_clean_fused)."""
+        cols = ["domain", "tld", "country", "region", "url"]
+        in_cols = cols + ([lang_col] if lang_col else [])
+
+        def page_gate(chunk):
+            from ccspark import arrowgate
+            text = chunk.column(chunk.schema.get_field_index("text"))
+            if lang_col:
+                lang = chunk.column(chunk.schema.get_field_index(lang_col))
+                return arrowgate.gopher_keep_batch(
+                    text, lang, thresholds=thresholds)
+            return arrowgate.gopher_keep_batch(text, thresholds=thresholds)
+
+        df = pipeline.explode_clean_fused(
+            geo_pages.select(*in_cols, "text"), page_gate=page_gate)
+        df = pipeline.number_and_hash(df)
+        return pipeline.dedup_keep_first(
+            df.select(*cols, "line_id", "text", "hash"))
 
     def metrics(self, pages: DataFrame) -> DataFrame:
         """Per (region, country, lang) lineage metrics (north_rule)."""

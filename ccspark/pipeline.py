@@ -83,7 +83,8 @@ def clean_and_filter(lines: DataFrame) -> DataFrame:
 
 
 def explode_clean_fused(geo_pages: DataFrame,
-                        pages_per_chunk: int = 4096) -> DataFrame:
+                        pages_per_chunk: int = 4096,
+                        page_gate=None) -> DataFrame:
     """F5 + F6-F13 FUSED into one ``mapInArrow`` stage (arrow-kernel
     production path): the line split (RE2 ``split_pattern_regex``, same
     dialect-neutral pattern as the JVM split), the raw-length gate, and
@@ -112,7 +113,14 @@ def explode_clean_fused(geo_pages: DataFrame,
     ``html``) before calling.  *pages_per_chunk* bounds the per-worker
     memory spike (one incoming batch can carry
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` pages; each chunk
-    materializes its lines ~3 times during the kernel passes)."""
+    materializes its lines ~3 times during the kernel passes).
+
+    *page_gate*: optional page-level predicate fused into the SAME
+    stage - a callable (RecordBatch chunk) -> numpy bool mask over its
+    pages; gated-out pages never reach the split/kernel, and the page
+    text crosses the JVM->Python boundary once for gate AND kernel (the
+    facade passes the Gopher document gate here - see
+    api.build_training_corpus)."""
     keep_cols = [c for c in geo_pages.columns if c != "text"]
     passthrough = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -130,6 +138,12 @@ def explode_clean_fused(geo_pages: DataFrame,
         for batch in batches:
             for start in range(0, batch.num_rows, pages_per_chunk):
                 chunk = batch.slice(start, pages_per_chunk)
+                if page_gate is not None:
+                    gidx = np.flatnonzero(page_gate(chunk))
+                    if gidx.size == 0:
+                        continue
+                    if gidx.size < chunk.num_rows:
+                        chunk = chunk.take(pa.array(gidx))
                 text = chunk.column(chunk.schema.get_field_index("text"))
                 ll = pc.split_pattern_regex(text, pat)
                 flat = pc.list_flatten(ll)

@@ -231,3 +231,33 @@ def test_corpus_lines_arrow_py_paths_identical(spark):
         else:
             os.environ["CCSPARK_KERNEL"] = old
     assert a == b and len(a) > 0
+
+
+def test_composite_arrow_py_paths_identical(spark):
+    """build_training_corpus under CCSPARK_KERNEL=arrow (Gopher gate
+    fused into the mapInArrow line stage) and =py (staged gate UDF +
+    posexplode) return the same rows bitwise - incl. the domain-gated
+    variant."""
+    from ccspark.api import CCSparkCorpus
+    from ccspark.fixtures_sql import pages_spark
+
+    pages = pages_spark(spark, "/root/testdata/sf0.001")
+    cc = CCSparkCorpus(spark)
+    old = os.environ.get("CCSPARK_KERNEL")
+    try:
+        for kwargs in ({}, {"domain_min_keep": 0.7},
+                       {"lang_aware": False}):
+            os.environ["CCSPARK_KERNEL"] = "py"
+            a = sorted(map(tuple,
+                           cc.build_training_corpus(pages, **kwargs)
+                           .collect()))
+            os.environ["CCSPARK_KERNEL"] = "arrow"
+            b = sorted(map(tuple,
+                           cc.build_training_corpus(pages, **kwargs)
+                           .collect()))
+            assert a == b and len(a) > 0, kwargs
+    finally:
+        if old is None:
+            os.environ.pop("CCSPARK_KERNEL", None)
+        else:
+            os.environ["CCSPARK_KERNEL"] = old
