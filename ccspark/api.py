@@ -115,20 +115,22 @@ class CCSparkCorpus:
                                             min_keep_frac=domain_min_keep)
             good = rollup.where("domain_keep").select("domain")
             df = df.join(F.broadcast(good), "domain", "left_semi")
-        # C4 page rules first (a pure page predicate - commutes with the
-        # Gopher gate), so the Gopher gate can fuse into the line stage
-        if c4:
-            df = quality.c4_page_filter(df)
         import os
         fused = os.environ.get("CCSPARK_KERNEL", "arrow") == "arrow"
-        if gopher and fused:
-            # Gopher gate FUSED into the mapInArrow line stage: page text
-            # crosses the JVM->Python boundary ONCE for gate + split +
-            # kernel (reuses the parity-proven arrowgate batch gate -
-            # identical keep set to the staged gopher_quality stage)
+        if fused and (gopher or c4):
+            # Gopher + C4 page gates FUSED into the mapInArrow line
+            # stage (both are pure page predicates, so they commute with
+            # each other and with the staged order): page text crosses
+            # the JVM->Python boundary ONCE for gates + split + kernel,
+            # and the composite has ZERO separate full-text Catalyst
+            # pass left.  Reuses the parity-proven arrowgate batch gates
+            # - identical keep set to the staged stages.
             lines = self._fused_gated_lines(df, lang_col,
-                                            gopher_thresholds)
+                                            gopher_thresholds,
+                                            gopher=gopher, c4=c4)
         else:
+            if c4:
+                df = quality.c4_page_filter(df)
             if gopher:
                 df = (quality.gopher_quality(df, signals=False,
                                              thresholds=gopher_thresholds,
@@ -142,8 +144,10 @@ class CCSparkCorpus:
 
     def _fused_gated_lines(self, geo_pages: DataFrame,
                            lang_col: str | None,
-                           thresholds: dict | None) -> DataFrame:
-        """Line pipeline with the Gopher document gate fused into the
+                           thresholds: dict | None,
+                           gopher: bool = True,
+                           c4: bool = True) -> DataFrame:
+        """Line pipeline with the Gopher/C4 document gates fused into the
         single mapInArrow stage (see pipeline.explode_clean_fused)."""
         cols = ["domain", "tld", "country", "region", "url"]
         in_cols = cols + ([lang_col] if lang_col else [])
@@ -151,11 +155,20 @@ class CCSparkCorpus:
         def page_gate(chunk):
             from ccspark import arrowgate
             text = chunk.column(chunk.schema.get_field_index("text"))
-            if lang_col:
-                lang = chunk.column(chunk.schema.get_field_index(lang_col))
-                return arrowgate.gopher_keep_batch(
-                    text, lang, thresholds=thresholds)
-            return arrowgate.gopher_keep_batch(text, thresholds=thresholds)
+            mask = None
+            if c4:
+                mask = arrowgate.c4_keep_batch(text)
+            if gopher:
+                if lang_col:
+                    lang = chunk.column(
+                        chunk.schema.get_field_index(lang_col))
+                    g = arrowgate.gopher_keep_batch(
+                        text, lang, thresholds=thresholds)
+                else:
+                    g = arrowgate.gopher_keep_batch(
+                        text, thresholds=thresholds)
+                mask = g if mask is None else (mask & g)
+            return mask
 
         df = pipeline.explode_clean_fused(
             geo_pages.select(*in_cols, "text"), page_gate=page_gate)

@@ -62,6 +62,18 @@ def _round4_vec(x: np.ndarray) -> np.ndarray:
     return y
 
 
+def _sub(arr, pattern: str, repl: str):
+    return pc.replace_substring_regex(arr, pattern=pattern,
+                                      replacement=repl)
+
+
+def _np_bool(mask) -> np.ndarray:
+    """Arrow boolean (nulls allowed) -> numpy bool, nulls as False."""
+    if mask.null_count:
+        mask = pc.fill_null(mask, False)
+    return mask.to_numpy(zero_copy_only=False)
+
+
 def _cnt(arr, pattern: str) -> np.ndarray:
     return pc.count_substring_regex(arr, pattern).to_numpy(
         zero_copy_only=False).astype(np.int64)
@@ -233,6 +245,45 @@ def gopher_keep_batch(texts, langs=None, thresholds: dict | None = None,
 
 def _np_null(arr: pa.Array) -> np.ndarray:
     return pc.is_null(arr).to_numpy(zero_copy_only=False)
+
+
+def c4_keep_batch(texts, min_sentences: int = 5) -> np.ndarray:
+    """Batch twin of quality.c4_page_keep_expr: >= min_sentences
+    non-empty sentences (same mark-and-split sentence splitter, same
+    patterns - newline/Latin-terminal+space/ideographic-terminal
+    boundaries) and none of C4_BAD_SUBSTRINGS.  Verdict-parity with the
+    Spark/DuckDB expression renderings is asserted in tests."""
+    from ccspark.quality import C4_BAD_SUBSTRINGS, SENT_MARK
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(texts, type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_all = len(texts)
+    keep_all = np.zeros(n_all, dtype=bool)
+    valid = np.flatnonzero(~_np_null(texts))
+    if valid.size == 0:
+        return keep_all
+    text = pc.take(texts, pa.array(valid))
+
+    marked = pc.replace_substring(text, "\n", SENT_MARK)
+    marked = _sub(marked, r"([.!?]) ", "\\1" + SENT_MARK)
+    marked = _sub(marked, "([。！？])", "\\1" + SENT_MARK)
+    ll = pc.split_pattern(marked, SENT_MARK)
+    flat_nonempty = pc.greater(
+        pc.utf8_length(pc.list_flatten(ll)), 0).to_numpy(
+        zero_copy_only=False)
+    parents = pc.list_parent_indices(ll).to_numpy(zero_copy_only=False)
+    n_sent = np.bincount(
+        parents, weights=flat_nonempty, minlength=len(text)).astype(
+        np.int64)
+    ok = n_sent >= min_sentences
+
+    low = pc.utf8_lower(text)
+    for b in C4_BAD_SUBSTRINGS:
+        m = pc.match_substring(low, b)
+        ok &= ~_np_bool(m)
+    keep_all[valid] = ok
+    return keep_all
 
 
 def make_gopher_keep_udf(thresholds: dict | None = None,

@@ -382,3 +382,36 @@ def test_arrow_gate_matches_py_gate(spark):
     got_st = arrowgate.gopher_keep_batch(
         pa.array(texts, type=pa.string())).tolist()
     assert [bool(x) for x in exp_st] == [bool(x) for x in got_st]
+
+
+def test_c4_arrow_gate_matches_duckdb_expr(duck):
+    """arrowgate.c4_keep_batch == the DuckDB rendering of
+    c4_page_keep_expr on crafted boundary docs (sentence-count edges,
+    ideographic terminals, bad substrings, nulls)."""
+    import pyarrow as pa
+
+    from ccspark import arrowgate
+    from ccspark.sqlgen import DUCK
+
+    s4 = "One two. Three four. Five six. Seven eight."      # 4 sentences
+    s5 = s4 + " Nine ten."                                   # 5 sentences
+    docs = [
+        s4, s5,
+        "a.\nb.\nc.\nd.\ne.",                # newline boundaries -> 5
+        "一句。二句。三句。四句。五句。",          # ideographic, no spaces -> 5
+        s5 + " lorem ipsum dolor",           # bad substring
+        s5 + " code { brace",                # bad substring
+        "No terminal punctuation at all " * 10,
+        "", None,
+        "Dots... galore... here... ok... fine...",
+    ]
+    got = [bool(x) for x in arrowgate.c4_keep_batch(
+        pa.array(docs, type=pa.string()))]
+    duck.execute("CREATE OR REPLACE TABLE c4t(i bigint, text varchar)")
+    duck.executemany("INSERT INTO c4t VALUES (?,?)",
+                     list(enumerate(docs)))
+    exp_rows = duck.execute(
+        f"SELECT i, {quality.c4_page_keep_expr(DUCK)} FROM c4t ORDER BY i"
+    ).fetchall()
+    exp = [bool(v) if v is not None else False for _, v in exp_rows]
+    assert got == exp, list(zip(docs, got, exp))

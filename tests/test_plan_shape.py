@@ -48,24 +48,40 @@ def test_flagship_exchange_count(spark):
 
 
 def test_composite_doc_gates_run_before_explode(spark):
-    """The Gopher/C4 document gates must execute BELOW the line explode in
-    the physical plan (prune whole pages before the row blow-up) - the
-    property that makes the composite scan-bound at crawl scale."""
+    """The Gopher/C4 document gates must execute at-or-below the line
+    blow-up in the physical plan (prune whole pages before the row
+    explosion) - the property that makes the composite scan-bound at
+    crawl scale.  Arrow (production) path: the gates are FUSED INSIDE
+    the single MapInArrow stage, so the plan has no Generate and no
+    separate full-text gate Filter at all.  Py path: the staged plan
+    must keep every gate Filter below the posexplode Generate."""
+    import os
+
     from ccspark.api import CCSparkCorpus
     pages = pages_spark(spark, "/root/testdata/sf0.001", materialize=True)
-    out = CCSparkCorpus(spark).build_training_corpus(pages)
-    plan = plan_of(out)
+
+    plan = plan_of(CCSparkCorpus(spark).build_training_corpus(pages))
+    assert "MapInArrow" in plan and "Generate" not in plan, plan
+    assert "size(filter(" not in plan, plan     # gates fused, not staged
+    assert len(re.findall(
+        r"Exchange (?:hash|range)partitioning", plan)) <= 2
+
+    old = os.environ.get("CCSPARK_KERNEL")
+    os.environ["CCSPARK_KERNEL"] = "py"
+    try:
+        plan = plan_of(CCSparkCorpus(spark).build_training_corpus(pages))
+    finally:
+        if old is None:
+            os.environ.pop("CCSPARK_KERNEL", None)
+        else:
+            os.environ["CCSPARK_KERNEL"] = old
     lines = plan.splitlines()
-    # the line blow-up is a Generate (posexplode, staged py path) or the
-    # fused MapInArrow stage (arrow path, split happens inside it)
-    gen = min(i for i, ln in enumerate(lines)
-              if "Generate" in ln or "MapInArrow" in ln)
+    gen = min(i for i, ln in enumerate(lines) if "Generate" in ln)
     gates = [i for i, ln in enumerate(lines)
              if "Filter" in ln and "size(filter(" in ln]
     assert gates, plan
     # executedPlan prints children below parents: deeper = earlier
     assert all(i > gen for i in gates), (gen, gates)
-    # still at most the flagship's two shuffles
     shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
     assert shuffles <= 2, shuffles
 
