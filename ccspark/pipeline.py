@@ -167,6 +167,57 @@ def explode_clean_fused(geo_pages: DataFrame,
     return geo_pages.mapInArrow(fused, schema)
 
 
+def explode_verdict_fused(geo_pages: DataFrame,
+                          pages_per_chunk: int = 4096) -> DataFrame:
+    """The metrics-path twin of explode_clean_fused: ONE mapInArrow
+    stage emitting EVERY line (kept or not) with its verdict -
+    row-identical to ``verdict_lines(explode_lines(geo_pages))`` minus
+    the raw_line column (asserted in tests).  Feeds cell_metrics /
+    corpus_lines_with_metrics, whose lineage tables need the dropped
+    lines too."""
+    keep_cols = [c for c in geo_pages.columns if c != "text"]
+    passthrough = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in geo_pages.schema.fields if f.name != "text")
+    schema = (f"{passthrough}, pos int, text string, keep boolean, "
+              f"drop_reason string")
+
+    def fused(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ccspark import arrowkernel
+        from ccspark.regexes import RE_LINE_SPLIT as pat
+
+        for batch in batches:
+            for start in range(0, batch.num_rows, pages_per_chunk):
+                chunk = batch.slice(start, pages_per_chunk)
+                text = chunk.column(chunk.schema.get_field_index("text"))
+                ll = pc.split_pattern_regex(text, pat)
+                flat = pc.list_flatten(ll)
+                parents = pc.list_parent_indices(ll).to_numpy(
+                    zero_copy_only=False)
+                lens = pc.fill_null(pc.list_value_length(ll), 0).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                starts = np.zeros(len(lens) + 1, dtype=np.int64)
+                np.cumsum(lens, out=starts[1:])
+                pos = np.arange(len(flat), dtype=np.int64) - starts[parents]
+                cleaned, keep, reason = arrowkernel.verdict_batch(flat)
+                take = pa.array(parents)
+                cols = [chunk.column(chunk.schema.get_field_index(c))
+                        .take(take) for c in keep_cols]
+                yield pa.RecordBatch.from_arrays(
+                    cols + [pa.array(pos.astype(np.int32)),
+                            pa.array(cleaned, type=pa.string()),
+                            pa.array(keep),
+                            pa.array(reason, type=pa.string())],
+                    names=keep_cols + ["pos", "text", "keep",
+                                       "drop_reason"])
+
+    return geo_pages.mapInArrow(fused, schema)
+
+
 def _corpus_line_cols(df: DataFrame) -> list[str]:
     cols = ["domain", "tld", "country", "region", "url"]
     if "lang" in df.columns:
@@ -187,6 +238,20 @@ def exploded_kept_lines(geo_pages: DataFrame,
         return explode_clean_fused(geo_pages.select(*cols, "text"))
     df = clean_and_filter(explode_lines(geo_pages))
     return df.select(*cols, "pos", "text")
+
+
+def verdict_lines_from_geo(geo_pages: DataFrame,
+                           cols: list[str]) -> DataFrame:
+    """Every line with its verdict, straight from a geo-gated pages
+    frame - the fused mapInArrow stage under CCSPARK_KERNEL=arrow
+    (default), the staged explode + pandas UDF under =py.  *cols* =
+    passthrough columns (pruned before the Python barrier); returns
+    cols + (pos, text, keep, drop_reason)."""
+    import os
+    if os.environ.get("CCSPARK_KERNEL", "arrow") == "arrow":
+        return explode_verdict_fused(geo_pages.select(*cols, "text"))
+    df = verdict_lines(explode_lines(geo_pages))
+    return df.select(*cols, "pos", "text", "keep", "drop_reason")
 
 
 def verdict_lines(lines: DataFrame) -> DataFrame:
@@ -264,8 +329,8 @@ def cell_metrics(pages: DataFrame) -> DataFrame:
     api facade's guard."""
     if "lang" not in pages.columns:
         pages = pages.withColumn("lang", F.lit("und"))
-    df = explode_lines(with_geo(pages))
-    df = verdict_lines(df)
+    df = verdict_lines_from_geo(
+        with_geo(pages), ["region", "country", "lang", "url"])
     return (
         df.groupBy("region", "country", "lang")
         .agg(
@@ -291,7 +356,9 @@ def corpus_lines_with_metrics(pages: DataFrame):
     from pyspark import StorageLevel
     if "lang" not in pages.columns:
         pages = pages.withColumn("lang", F.lit("und"))
-    v = verdict_lines(explode_lines(with_geo(pages)))
+    v = verdict_lines_from_geo(
+        with_geo(pages),
+        ["domain", "tld", "country", "region", "lang", "url"])
     v = v.persist(StorageLevel.MEMORY_AND_DISK)
     kept = (v.where("keep")
             .drop("raw_line", "keep", "drop_reason"))

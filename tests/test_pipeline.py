@@ -261,3 +261,20 @@ def test_composite_arrow_py_paths_identical(spark):
             os.environ.pop("CCSPARK_KERNEL", None)
         else:
             os.environ["CCSPARK_KERNEL"] = old
+
+
+def test_verdict_fused_matches_staged(spark):
+    """explode_verdict_fused (metrics path, arrow) is row-identical to
+    verdict_lines(explode_lines(...)) - ALL lines, kept or dropped,
+    with the same drop_reason labels."""
+    from ccspark.fixtures_sql import pages_spark
+
+    pages = pages_spark(spark, "/root/testdata/sf0.001")
+    geo = pipeline.with_geo(pages)
+    cols = ["region", "country", "lang", "url"]
+    staged = (pipeline.verdict_lines(pipeline.explode_lines(geo))
+              .select(*cols, "pos", "text", "keep", "drop_reason"))
+    fused = pipeline.explode_verdict_fused(geo.select(*cols, "text"))
+    a = sorted(map(tuple, staged.collect()))
+    b = sorted(map(tuple, fused.collect()))
+    assert a == b and len(a) > 0
