@@ -172,9 +172,13 @@ def explode_verdict_fused(geo_pages: DataFrame,
     """The metrics-path twin of explode_clean_fused: ONE mapInArrow
     stage emitting EVERY line (kept or not) with its verdict -
     row-identical to ``verdict_lines(explode_lines(geo_pages))`` minus
-    the raw_line column (asserted in tests).  Feeds cell_metrics /
-    corpus_lines_with_metrics, whose lineage tables need the dropped
-    lines too."""
+    the raw_line column (asserted in tests).
+
+    NOT the production default: measured 0.76x vs the staged form on
+    the all-lines metrics path (see verdict_lines_from_geo for why -
+    every-line output re-transfers the passthrough columns).  Kept as
+    the measured-experiment record and for pipelines that want the
+    verdict frame without a JVM explode."""
     keep_cols = [c for c in geo_pages.columns if c != "text"]
     passthrough = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -243,13 +247,20 @@ def exploded_kept_lines(geo_pages: DataFrame,
 def verdict_lines_from_geo(geo_pages: DataFrame,
                            cols: list[str]) -> DataFrame:
     """Every line with its verdict, straight from a geo-gated pages
-    frame - the fused mapInArrow stage under CCSPARK_KERNEL=arrow
-    (default), the staged explode + pandas UDF under =py.  *cols* =
-    passthrough columns (pruned before the Python barrier); returns
-    cols + (pos, text, keep, drop_reason)."""
-    import os
-    if os.environ.get("CCSPARK_KERNEL", "arrow") == "arrow":
-        return explode_verdict_fused(geo_pages.select(*cols, "text"))
+    frame.  *cols* = passthrough columns; returns cols + (pos, text,
+    keep, drop_reason).
+
+    MEASURED CHOICE (don't re-fuse without re-measuring): this path
+    stays STAGED (JVM explode + the arrow-kernel pandas UDF) even under
+    CCSPARK_KERNEL=arrow.  The fused mapInArrow twin
+    (explode_verdict_fused) was measured 0.76x here (7.8s -> 10.2s,
+    cell_metrics at 3M docs/16 cores): when EVERY line must come back
+    with its passthrough columns, the Python stage re-emits those
+    columns duplicated per line through Arrow, while the staged UDF
+    receives one string column and returns three small ones with the
+    passthrough staying JVM-side.  Fusion wins only where the output is
+    kept-lines-only (explode_clean_fused - most of the transfer never
+    happens)."""
     df = verdict_lines(explode_lines(geo_pages))
     return df.select(*cols, "pos", "text", "keep", "drop_reason")
 
