@@ -159,7 +159,11 @@ def gopher_keep_batch(texts, langs=None, thresholds: dict | None = None,
     else:
         sf = np.zeros(n, dtype=bool)
 
-    n_tok = _cnt(text, "[^ ]+")
+    # token count as 'space followed by non-space' on a lead-padded copy
+    # (~20% cheaper than the equivalent '[^ ]+' run count, equal values)
+    lead_sp = pc.binary_join_element_wise(
+        pa.array([" "] * n), text, "")
+    n_tok = _cnt(lead_sp, " [^ ]")
     n_words = n_tok
     if sf.any():
         n_words = n_tok.copy()
@@ -192,16 +196,21 @@ def gopher_keep_batch(texts, langs=None, thresholds: dict | None = None,
     n_ellip = _cnt(trail_nl, r"(?:\.\.\.|…)\n")
     ok &= _round4_vec(n_ellip / nl) <= t["max_ellipsis_frac"]
 
+    # cheap dup-line checks BEFORE the expensive alpha/stopword stages
+    # (the gate returns only the conjunction, so check order is free)
+    ok &= _round4_vec((n_lines - n_distinct) / nl) <= t["max_dup_line_frac"]
+    dup_chars = np.maximum(line_chars - distinct_chars, 0)
+    ok &= (_round4_vec(dup_chars / np.maximum(line_chars, 1))
+           <= t["max_dup_line_char_frac"])
+
     # expensive late stages run only on still-alive rows (the batch
     # analog of the per-row loop's early exits: on real crawls the
     # cheap shape gates above kill 30-70% of docs first)
     alpha_frac = np.full(n, np.inf, dtype=np.float64)
     nonsf = np.flatnonzero(~sf & ok)
     if nonsf.size:
-        sub = pc.take(text, pa.array(nonsf))
-        lead_sp = pc.binary_join_element_wise(
-            pa.array([" "] * len(sub)), sub, "")
-        n_alpha_tok = _cnt(lead_sp, " [^ \\p{L}]*\\p{L}")
+        sub = pc.take(lead_sp, pa.array(nonsf))
+        n_alpha_tok = _cnt(sub, " [^ \\p{L}]*\\p{L}")
         alpha_frac[nonsf] = _round4_vec(
             n_alpha_tok / np.maximum(n_tok[nonsf], 1))
     sfi = np.flatnonzero(sf & ok)
@@ -233,11 +242,6 @@ def gopher_keep_batch(texts, langs=None, thresholds: dict | None = None,
             hits = _stopword_hits(
                 _padded(idx), stopwords or GOPHER_STOPWORDS)
             ok[idx] &= hits >= t["min_stopword_hits"]
-
-    ok &= _round4_vec((n_lines - n_distinct) / nl) <= t["max_dup_line_frac"]
-    dup_chars = np.maximum(line_chars - distinct_chars, 0)
-    ok &= (_round4_vec(dup_chars / np.maximum(line_chars, 1))
-           <= t["max_dup_line_char_frac"])
 
     keep_all[valid] = ok
     return keep_all
