@@ -153,21 +153,35 @@ class CCSparkCorpus:
         in_cols = cols + ([lang_col] if lang_col else [])
 
         def page_gate(chunk):
+            import numpy as np
+            import pyarrow as pa
+
             from ccspark import arrowgate
             text = chunk.column(chunk.schema.get_field_index("text"))
-            mask = None
-            if c4:
-                mask = arrowgate.c4_keep_batch(text)
+            lang = (chunk.column(chunk.schema.get_field_index(lang_col))
+                    if lang_col else None)
+            # C4 first (one replace chain + split); the pricier Gopher
+            # signals run only on C4 survivors - batch short-circuiting
+            mask = arrowgate.c4_keep_batch(text) if c4 else None
             if gopher:
-                if lang_col:
-                    lang = chunk.column(
-                        chunk.schema.get_field_index(lang_col))
-                    g = arrowgate.gopher_keep_batch(
-                        text, lang, thresholds=thresholds)
-                else:
-                    g = arrowgate.gopher_keep_batch(
-                        text, thresholds=thresholds)
-                mask = g if mask is None else (mask & g)
+                if mask is None:
+                    g = (arrowgate.gopher_keep_batch(
+                            text, lang, thresholds=thresholds) if lang_col
+                         else arrowgate.gopher_keep_batch(
+                            text, thresholds=thresholds))
+                    return g
+                idx = np.flatnonzero(mask)
+                if idx.size:
+                    ia = pa.array(idx)
+                    sub_t = text.take(ia)
+                    g = (arrowgate.gopher_keep_batch(
+                            sub_t, lang.take(ia), thresholds=thresholds)
+                         if lang_col
+                         else arrowgate.gopher_keep_batch(
+                            sub_t, thresholds=thresholds))
+                    out = np.zeros(len(mask), dtype=bool)
+                    out[idx] = g
+                    mask = out
             return mask
 
         df = pipeline.explode_clean_fused(
