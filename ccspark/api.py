@@ -62,7 +62,7 @@ class CCSparkCorpus:
         pipeline.exploded_kept_lines for the CCSPARK_KERNEL dispatch)."""
         cols = ["domain", "tld", "country", "region", "url"]
         df = pipeline.exploded_kept_lines(geo_pages, cols)
-        df = pipeline.number_and_hash(df)
+        df = pipeline._ordinal_and_hash(df)
         return pipeline.dedup_keep_first(
             df.select(*cols, "line_id", "text", "hash"))
 
@@ -186,7 +186,7 @@ class CCSparkCorpus:
 
         df = pipeline.explode_clean_fused(
             geo_pages.select(*in_cols, "text"), page_gate=page_gate)
-        df = pipeline.number_and_hash(df)
+        df = pipeline._ordinal_and_hash(df)
         return pipeline.dedup_keep_first(
             df.select(*cols, "line_id", "text", "hash"))
 

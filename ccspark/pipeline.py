@@ -104,9 +104,16 @@ def explode_clean_fused(geo_pages: DataFrame,
         array<struct>" shape that measured 4.6x slower - mapInArrow
         emits flat RecordBatches, so no Arrow nested-type serialization.
 
-    Output columns: every non-``text`` input column + (pos int, text
-    string) - identical rows (asserted bitwise in tests) to
-    ``clean_and_filter(explode_lines(geo_pages))``.
+    Output columns: every non-``text`` input column + (pos int,
+    line_id int, text string) - identical rows (asserted bitwise in
+    tests) to ``clean_and_filter(explode_lines(geo_pages))`` plus the
+    kept-line ordinal.  line_id is computed IN-STAGE: a page's lines
+    are all local to the chunk that split it, so the per-url kept-line
+    ordinal needs NO url-window shuffle - the flagship drops from two
+    exchanges to one (dedup only), eliminating the full-corpus-text
+    shuffle at 100TB.  (Contract: one input row per url - the pages
+    table's natural key, same assumption the reference makes; the
+    staged py path keeps the general window form.)
 
     CALLER MUST PRUNE FIRST: ``mapInArrow`` is a projection barrier, so
     select only the columns the downstream plan needs (in particular not
@@ -125,7 +132,7 @@ def explode_clean_fused(geo_pages: DataFrame,
     passthrough = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in geo_pages.schema.fields if f.name != "text")
-    schema = f"{passthrough}, pos int, text string"
+    schema = f"{passthrough}, pos int, line_id int, text string"
 
     def fused(batches):
         import numpy as np
@@ -156,13 +163,24 @@ def explode_clean_fused(geo_pages: DataFrame,
                 pos = np.arange(len(flat), dtype=np.int64) - starts[parents]
                 cleaned, keep, _ = arrowkernel.verdict_batch(flat)
                 idx = np.flatnonzero(keep)
-                take = pa.array(parents[idx])
+                # kept-line ordinal per page: idx is page-major and
+                # pos-ascending (flatten order), so rank = offset within
+                # each parent run
+                kp = parents[idx]
+                run_start = np.zeros(len(kp), dtype=np.int64)
+                if len(kp):
+                    new = np.flatnonzero(np.diff(kp)) + 1
+                    run_start[new] = new
+                    np.maximum.accumulate(run_start, out=run_start)
+                line_id = np.arange(len(kp), dtype=np.int64) - run_start + 1
+                take = pa.array(kp)
                 cols = [chunk.column(chunk.schema.get_field_index(c))
                         .take(take) for c in keep_cols]
                 yield pa.RecordBatch.from_arrays(
                     cols + [pa.array(pos[idx].astype(np.int32)),
+                            pa.array(line_id.astype(np.int32)),
                             pa.array(cleaned[idx], type=pa.string())],
-                    names=keep_cols + ["pos", "text"])
+                    names=keep_cols + ["pos", "line_id", "text"])
 
     return geo_pages.mapInArrow(fused, schema)
 
@@ -241,7 +259,7 @@ def exploded_kept_lines(geo_pages: DataFrame,
     if os.environ.get("CCSPARK_KERNEL", "arrow") == "arrow":
         return explode_clean_fused(geo_pages.select(*cols, "text"))
     df = clean_and_filter(explode_lines(geo_pages))
-    return df.select(*cols, "pos", "text")
+    return df.select(*cols, "pos", "text")   # line_id comes from the window
 
 
 def verdict_lines_from_geo(geo_pages: DataFrame,
@@ -328,8 +346,18 @@ def corpus_lines(pages: DataFrame) -> DataFrame:
     # only these columns + text enter the Python stage, and only these +
     # (line_id, text, hash) reach the dedup aggregate's payload struct
     df = exploded_kept_lines(df, cols)
-    df = number_and_hash(df)
+    df = _ordinal_and_hash(df)
     return dedup_keep_first(df.select(*cols, "line_id", "text", "hash"))
+
+
+def _ordinal_and_hash(df: DataFrame) -> DataFrame:
+    """W1+F14 for an exploded_kept_lines frame: the fused stage already
+    carries the in-stage line_id (page-local ordinal, NO url-window
+    shuffle); the staged form computes it with the window.  Either way
+    the stable xxhash64 line hash is added here."""
+    if "line_id" in df.columns:
+        return df.withColumn("hash", F.xxhash64("text"))
+    return number_and_hash(df)
 
 
 def cell_metrics(pages: DataFrame) -> DataFrame:

@@ -204,9 +204,14 @@ def test_fused_explode_clean_matches_staged(spark):
     for pages in frames:
         geo = pipeline.with_geo(pages)
         cols = pipeline._corpus_line_cols(geo)
-        staged = (pipeline.clean_and_filter(pipeline.explode_lines(geo))
-                  .select(*cols, "pos", "text"))
-        fused = pipeline.explode_clean_fused(geo.select(*cols, "text"))
+        # staged twin WITH the window ordinal, so the fused in-stage
+        # line_id (no url shuffle) is checked against the general form
+        staged = (pipeline.number_and_hash(
+            pipeline.clean_and_filter(pipeline.explode_lines(geo)))
+            .select(*cols, "pos", "line_id", "text"))
+        fused = pipeline.explode_clean_fused(
+            geo.select(*cols, "text")).select(
+            *cols, "pos", "line_id", "text")
         a = sorted(map(tuple, staged.collect()))
         b = sorted(map(tuple, fused.collect()))
         assert a == b, (len(a), len(b))

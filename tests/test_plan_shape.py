@@ -42,9 +42,12 @@ def test_dimension_joins_broadcast(spark):
 def test_flagship_exchange_count(spark):
     pages = pages_spark(spark, "/root/testdata/sf0.001", materialize=True)
     plan = plan_of(pipeline.corpus_lines(pages))
-    # broadcast exchanges are fine; count only shuffle exchanges
+    # broadcast exchanges are fine; count only shuffle exchanges.
+    # Arrow (production) path: the in-stage line_id removed the
+    # url-window shuffle entirely - ONE exchange (dedup) and no Window.
     shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
-    assert shuffles <= 2, f"unexpected extra shuffles ({shuffles}):\n{plan}"
+    assert shuffles == 1, f"unexpected shuffles ({shuffles}):\n{plan}"
+    assert "Window" not in plan, plan
 
 
 def test_composite_doc_gates_run_before_explode(spark):
