@@ -71,8 +71,8 @@ class CCSparkCorpus:
                               scrub_pii: bool = True,
                               gopher_thresholds: dict | None = None,
                               lang_aware: bool = True,
-                              domain_min_keep: float | None = None
-                              ) -> DataFrame:
+                              domain_min_keep: float | None = None,
+                              with_metrics: bool = False):
         """The quality_filter composite a modern training-data pipeline
         runs: document gates FIRST (Gopher + C4 page rules - scan-speed
         array projections that prune whole pages before the expensive
@@ -101,7 +101,19 @@ class CCSparkCorpus:
         text (placeholders like <EMAIL> would otherwise collide distinct
         lines, and the kernel's strip_tags would eat the placeholders if
         scrubbed before cleaning).  The whole composite is hash-verified
-        against a DuckDB SQL twin (driver query ``training_corpus``)."""
+        against a DuckDB SQL twin (driver query ``training_corpus``).
+
+        ``with_metrics=True`` returns ``(lines, metrics_fn)`` instead of
+        the bare frame: lineage counters riding the SAME plan at zero
+        extra kernel passes (r3 verdict item 5 - the composite used to
+        discard its verdict counts).  ``metrics_fn()`` - call it AFTER an
+        action on ``lines`` - returns {docs_seen (geo-gated pages
+        entering the composite, exact via ``observe``), lines_gated
+        (kernel-candidate lines; ``observe``d on the py path, accumulator
+        on the fused path - see explode_clean_fused), lines_kept
+        (pre-dedup kept lines, exact), docs_kept_approx (HLL distinct
+        urls among kept lines)}.  The per-(region, country, lang) cube
+        remains checkpoint/cell_metrics territory."""
         lang_col = "lang" if (lang_aware and "lang" in pages.columns) \
             else None
         # geo gate FIRST: host/ccTLD/MNC is a cheap projection + two
@@ -111,10 +123,20 @@ class CCSparkCorpus:
         df = pipeline.with_geo(pages, self.url_filter,
                                self.countries_to_skip)
         if domain_min_keep is not None:
+            # the rollup judges domains with the SAME thresholds the page
+            # gate runs with (ADVICE r3: defaults here while pages use
+            # overrides would silently diverge from the DuckDB twin,
+            # which applies the caller's thresholds to both)
             rollup = quality.domain_quality(df, lang_col=lang_col,
-                                            min_keep_frac=domain_min_keep)
+                                            min_keep_frac=domain_min_keep,
+                                            thresholds=gopher_thresholds)
             good = rollup.where("domain_keep").select("domain")
             df = df.join(F.broadcast(good), "domain", "left_semi")
+        obs_in = obs_lines = obs_gated = acc = None
+        if with_metrics:
+            from pyspark.sql import Observation
+            obs_in, obs_lines = Observation(), Observation()
+            df = df.observe(obs_in, F.count(F.lit(1)).alias("docs_seen"))
         import os
         fused = os.environ.get("CCSPARK_KERNEL", "arrow") == "arrow"
         if fused and (gopher or c4):
@@ -125,9 +147,13 @@ class CCSparkCorpus:
             # and the composite has ZERO separate full-text Catalyst
             # pass left.  Reuses the parity-proven arrowgate batch gates
             # - identical keep set to the staged stages.
+            if with_metrics:
+                acc = self.spark.sparkContext.accumulator(0)
             lines = self._fused_gated_lines(df, lang_col,
                                             gopher_thresholds,
-                                            gopher=gopher, c4=c4)
+                                            gopher=gopher, c4=c4,
+                                            gated_counter=acc,
+                                            lines_obs=obs_lines)
         else:
             if c4:
                 df = quality.c4_page_filter(df)
@@ -137,16 +163,57 @@ class CCSparkCorpus:
                                              engine="udf",
                                              lang_col=lang_col)
                       .where("gopher_keep").drop("gopher_keep"))
-            lines = self._lines_from_geo(df)
+            if with_metrics:
+                from pyspark.sql import Observation
+                obs_gated = Observation()
+                lines = self._staged_observed_lines(df, obs_gated,
+                                                    obs_lines)
+            else:
+                lines = self._lines_from_geo(df)
         if scrub_pii:
             lines = lines.withColumn("text", scrub_mod.scrub_col("text"))
-        return lines
+        if not with_metrics:
+            return lines
+
+        def metrics_fn() -> dict:
+            out = dict(obs_in.get)
+            out.update(obs_lines.get)
+            out["lines_gated"] = (acc.value if acc is not None
+                                  else obs_gated.get["lines_gated"])
+            return out
+        return lines, metrics_fn
+
+    def _staged_observed_lines(self, geo_pages: DataFrame, obs_gated,
+                               obs_lines) -> DataFrame:
+        """The CCSPARK_KERNEL=py line pipeline with the lineage counters
+        observed in-plan (clean_and_filter's stages inlined so the
+        observation points sit exactly at the gate and the kernel
+        output)."""
+        cols = ["domain", "tld", "country", "region", "url"]
+        lf = pipeline.explode_lines(geo_pages.select(*cols, "text"))
+        lf = lf.filter(F.length("raw_line") > 15)
+        lf = lf.observe(obs_gated,
+                        F.count(F.lit(1)).alias("lines_gated"))
+        from ccspark import pykernel
+        udf = pykernel.make_clean_verdict_udf()
+        lf = (lf.withColumn("_v", udf("raw_line"))
+              .filter(F.col("_v.keep"))
+              .select(*cols, "pos", F.col("_v.text").alias("text")))
+        lf = lf.observe(
+            obs_lines,
+            F.count(F.lit(1)).alias("lines_kept"),
+            F.approx_count_distinct("url").alias("docs_kept_approx"))
+        lf = pipeline._ordinal_and_hash(lf)
+        return pipeline.dedup_keep_first(
+            lf.select(*cols, "line_id", "text", "hash"))
 
     def _fused_gated_lines(self, geo_pages: DataFrame,
                            lang_col: str | None,
                            thresholds: dict | None,
                            gopher: bool = True,
-                           c4: bool = True) -> DataFrame:
+                           c4: bool = True,
+                           gated_counter=None,
+                           lines_obs=None) -> DataFrame:
         """Line pipeline with the Gopher/C4 document gates fused into the
         single mapInArrow stage (see pipeline.explode_clean_fused)."""
         cols = ["domain", "tld", "country", "region", "url"]
@@ -185,7 +252,13 @@ class CCSparkCorpus:
             return mask
 
         df = pipeline.explode_clean_fused(
-            geo_pages.select(*in_cols, "text"), page_gate=page_gate)
+            geo_pages.select(*in_cols, "text"), page_gate=page_gate,
+            gated_counter=gated_counter)
+        if lines_obs is not None:
+            df = df.observe(
+                lines_obs,
+                F.count(F.lit(1)).alias("lines_kept"),
+                F.approx_count_distinct("url").alias("docs_kept_approx"))
         df = pipeline._ordinal_and_hash(df)
         return pipeline.dedup_keep_first(
             df.select(*cols, "line_id", "text", "hash"))

@@ -55,7 +55,12 @@ def _round4_vec(x: np.ndarray) -> np.ndarray:
     scaled = x * 10000.0
     y = np.floor(scaled + 0.5) / 10000.0
     frac = scaled - np.floor(scaled)
-    risky = np.abs(frac - 0.5) < 1e-9
+    # guard band RELATIVE to magnitude: one ULP of `scaled` exceeds a
+    # fixed 1e-9 once scaled > ~1e7, so an absolute band would miss
+    # boundary cases on huge signal values (ADVICE r3) - 4e-16 ~ 2 ULP
+    # of a double's relative precision
+    band = np.maximum(1e-9, np.abs(scaled) * 4e-16)
+    risky = np.abs(frac - 0.5) < band
     if risky.any():
         idx = np.flatnonzero(risky)
         y[idx] = [_round4(float(v)) for v in x[idx]]

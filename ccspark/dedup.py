@@ -54,10 +54,25 @@ def str_hash(df: DataFrame, col: str = "text",
 
 def dedup_keep_first(df: DataFrame, key: str = "hash",
                      order: tuple[str, ...] = ("url", "line_id")) -> DataFrame:
-    """D1/D3/D4: keep exactly one row per key - the first under *order*."""
-    w = Window.partitionBy(key).orderBy(*order)
-    return (df.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") == 1).drop("_rn"))
+    """D1/D3/D4: keep exactly one row per key - the first under *order*
+    (ties broken deterministically by the remaining columns).
+
+    THE shared keep-first implementation (r3 verdict item 4 unified the
+    former window form here): groupBy + min(struct(order, rest)) rather
+    than a row_number window, because hash aggregation gets a map-side
+    partial phase - duplicate-heavy data collapses before the exchange,
+    while a window must shuffle every row.  At 10^12-doc scale that is
+    the difference between shuffling every line and shuffling one per
+    distinct key per task.  Struct comparison is field-order
+    lexicographic, so min() == first-by-*order*.  Output preserves the
+    input column order."""
+    order_cols = [c for c in order if c in df.columns]
+    rest = [c for c in df.columns if c not in order_cols and c != key]
+    packed = F.struct(*order_cols, *rest).alias("_w")
+    out = df.groupBy(key).agg(F.min(packed).alias("_w"))
+    flat = out.select(
+        key, *[F.col(f"_w.{c}").alias(c) for c in order_cols + rest])
+    return flat.select(*df.columns)
 
 
 def dedup_keep_none(df: DataFrame, key: str = "hash") -> DataFrame:
@@ -218,6 +233,71 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
             .alias("jaccard"),
         )
     )
+
+
+def near_dup_clusters(docs: DataFrame, threshold: float = 0.5,
+                      text_col: str = "text", k: int = 3,
+                      num_hashes: int = 12, bands: int = 4,
+                      id_col: str = "doc_id",
+                      max_iter: int = 20) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup graph
+    (r3 verdict item 6: candidate PAIRS alone don't dedup anything - a
+    training-data user needs the survivor set).
+
+    Edges = LSH candidate pairs with estimated Jaccard >= *threshold*;
+    components via iterative min-label propagation (each node repeatedly
+    adopts the smallest label among itself and its neighbors), which
+    converges in O(diameter) rounds - near-dup clusters are shallow
+    (dup farms form stars around a template), so the loop is short.  At
+    10^12-doc scale swap the propagation loop for the alternating
+    large-star/small-star rounds of Kiveris et al. (2014) - same join
+    primitives, O(log n) rounds on adversarial chains; the fixture-scale
+    loop keeps the exact same edge construction and output contract.
+
+    Returns one row per document that appears in ANY qualifying pair:
+    (id_col, cluster_id = min doc id reachable, survivor = doc IS the
+    cluster minimum).  Documents with no near-dup are absent (trivially
+    survivors)."""
+    pairs = (minhash_near_dups(docs, text_col, k, num_hashes, bands, id_col)
+             .where(F.col("jaccard_est") >= threshold)
+             .select("doc_a", "doc_b").persist())
+    edges = pairs.union(pairs.select("doc_b", "doc_a")) \
+                 .toDF("src", "dst").persist()
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")).persist())
+    prev_sum = None
+    for _ in range(max_iter):
+        msgs = (edges.join(labels, edges.src == labels.node)
+                .select(F.col("dst").alias("node"), "label"))
+        new_labels = (msgs.unionByName(labels)
+                      .groupBy("node").agg(F.min("label").alias("label"))
+                      .persist())
+        # labels only ever decrease, so an unchanged sum == fixpoint
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    out = labels.select(F.col("node").alias(id_col),
+                        F.col("label").alias("cluster_id"),
+                        (F.col("node") == F.col("label")).alias("survivor"))
+    return out
+
+
+def dedup_near(docs: DataFrame, threshold: float = 0.5,
+               text_col: str = "text", k: int = 3,
+               num_hashes: int = 12, bands: int = 4,
+               id_col: str = "doc_id") -> DataFrame:
+    """End-to-end near-duplicate REMOVAL: keep one canonical document
+    (the cluster-minimum id) per near-dup cluster, plus every document
+    with no near-dup.  The non-survivor set is small relative to the
+    corpus (it is the duplicates), so the removal join broadcasts when
+    Spark's threshold allows and anti-joins on the 8-byte id otherwise."""
+    clusters = near_dup_clusters(docs, threshold, text_col, k,
+                                 num_hashes, bands, id_col)
+    losers = clusters.where(~F.col("survivor")).select(id_col)
+    return docs.join(losers, id_col, "left_anti")
 
 
 def incremental_new_rows(new: DataFrame, seen: DataFrame,

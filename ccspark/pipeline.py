@@ -84,7 +84,8 @@ def clean_and_filter(lines: DataFrame) -> DataFrame:
 
 def explode_clean_fused(geo_pages: DataFrame,
                         pages_per_chunk: int = 4096,
-                        page_gate=None) -> DataFrame:
+                        page_gate=None,
+                        gated_counter=None) -> DataFrame:
     """F5 + F6-F13 FUSED into one ``mapInArrow`` stage (arrow-kernel
     production path): the line split (RE2 ``split_pattern_regex``, same
     dialect-neutral pattern as the JVM split), the raw-length gate, and
@@ -127,12 +128,38 @@ def explode_clean_fused(geo_pages: DataFrame,
     pages; gated-out pages never reach the split/kernel, and the page
     text crosses the JVM->Python boundary once for gate AND kernel (the
     facade passes the Gopher document gate here - see
-    api.build_training_corpus)."""
+    api.build_training_corpus).
+
+    *gated_counter*: optional Spark Accumulator incremented by the
+    number of kernel-candidate lines (split lines passing the raw
+    >15-char gate, the same population corpus_lines_observed counts) -
+    the ONLY line-level metric the kept-lines-only fused stage cannot
+    surface through ``observe()``.  Exact when no task retries occur
+    (always true in local mode); on a cluster with speculative
+    execution prefer the observed kept/docs metrics or the checkpoint
+    metrics table, which derive from committed data."""
     keep_cols = [c for c in geo_pages.columns if c != "text"]
     passthrough = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in geo_pages.schema.fields if f.name != "text")
     schema = f"{passthrough}, pos int, line_id int, text string"
+
+    # the in-stage ordinal's contract is ONE input row per url (the pages
+    # table's natural key); with duplicate urls the ordinal restarts per
+    # page row and tie-breaks of dedup_keep_first silently shift vs the
+    # CCSPARK_KERNEL=py window form.  CCSPARK_CHECK_UNIQUE_URLS=1 turns on
+    # an eager guard for caller-supplied frames (debug-only: it runs one
+    # extra aggregate job, so it is not the production default).
+    import os as _os
+    if _os.environ.get("CCSPARK_CHECK_UNIQUE_URLS") == "1" \
+            and "url" in geo_pages.columns:
+        dup = (geo_pages.groupBy("url").count()
+               .where(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"explode_clean_fused: duplicate url {dup[0]['url']!r} - "
+                "the in-stage line ordinal requires one row per url "
+                "(pre-aggregate or use CCSPARK_KERNEL=py)")
 
     def fused(batches):
         import numpy as np
@@ -161,6 +188,9 @@ def explode_clean_fused(geo_pages: DataFrame,
                 starts = np.zeros(len(lens) + 1, dtype=np.int64)
                 np.cumsum(lens, out=starts[1:])
                 pos = np.arange(len(flat), dtype=np.int64) - starts[parents]
+                if gated_counter is not None:
+                    gl = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+                    gated_counter.add(int((gl > 15).sum()))
                 cleaned, keep, _ = arrowkernel.verdict_batch(flat)
                 idx = np.flatnonzero(keep)
                 # kept-line ordinal per page: idx is page-major and
@@ -314,17 +344,14 @@ def dedup_keep_first(lines: DataFrame, key: str = "hash") -> DataFrame:
     "first" depended on file order; we pin a deterministic tiebreak
     (url, line_id) so results are stable under shuffle.
 
-    Implemented as groupBy + min(struct(tiebreak, rest)) rather than a
-    row_number window: hash aggregation gets a map-side partial phase, so
-    duplicate-heavy data collapses *before* the exchange - at 10^12-doc
-    scale that's the difference between shuffling every line and shuffling
-    one per distinct hash per task.  Struct comparison is field-order
-    lexicographic, so min() == first-by-(url, line_id)."""
-    order = ["url", "line_id"]
+    Delegates to ccspark.dedup.dedup_keep_first - the ONE shared
+    map-side-combining groupBy + min(struct) implementation (see its
+    docstring for the scale argument) - keeping this module's historical
+    key-first output column order."""
+    from ccspark import dedup as _dedup
+    order = [c for c in ("url", "line_id") if c in lines.columns]
     rest = [c for c in lines.columns if c not in order and c != key]
-    packed = F.struct(*order, *rest).alias("_w")
-    out = lines.groupBy(key).agg(F.min(packed).alias("_w"))
-    return out.select(key, *[F.col(f"_w.{c}").alias(c) for c in order + rest])
+    return _dedup.dedup_keep_first(lines, key).select(key, *order, *rest)
 
 
 def corpus_lines(pages: DataFrame) -> DataFrame:

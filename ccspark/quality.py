@@ -630,7 +630,8 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text",
 def domain_quality(pages: DataFrame, text_col: str = "text",
                    domain_col: str = "domain",
                    min_keep_frac: float = 0.5,
-                   lang_col: str | None = None) -> DataFrame:
+                   lang_col: str | None = None,
+                   thresholds: dict | None = None) -> DataFrame:
     """Domain-level quality rollup: per domain, the fraction of its pages
     passing the Gopher gate plus mean signals - drop whole domains whose
     keep fraction is below *min_keep_frac* (spam farms fail wholesale, so
@@ -638,8 +639,13 @@ def domain_quality(pages: DataFrame, text_col: str = "text",
     One scan + one aggregation; join the survivors back as a broadcast or
     bucketed gate (api.build_training_corpus(domain_min_keep=...) does
     exactly that).  *lang_col*: judge each page with the language-aware
-    gate."""
-    g = gopher_quality(pages, text_col, lang_col=lang_col)
+    gate.  *thresholds*: Gopher threshold overrides - MUST be the same
+    dict the page-level gate runs with, so domains are judged by the
+    same rule as their pages (the facade threads its gopher_thresholds
+    through; judging the rollup with defaults while gating pages with
+    overrides silently diverges - ADVICE r3)."""
+    g = gopher_quality(pages, text_col, lang_col=lang_col,
+                       thresholds=thresholds)
 
     # cross-engine-deterministic mean: the per-page signals are 4-decimal
     # doubles, so avg() would sum floats in engine-dependent order and can

@@ -77,8 +77,15 @@ def build_ivf(table: DataFrame, n_lists: int = 8,
 
 def ivf_knn(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
             k: int = 5, nprobe: int = 2,
-            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Probe the nprobe nearest lists per query, exact rerank within."""
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            round_digits: int = 6) -> DataFrame:
+    """Probe the nprobe nearest lists per query, exact rerank within.
+
+    *round_digits*: rounding applied to the cosine BEFORE ranking (ranks
+    are computed on the rounded value, neighbor_id tie-break) - the
+    driver-graded full-probe pair uses 4 so rank ties are cross-engine
+    deterministic (same pattern as q_knn_cosine); default 6 for in-engine
+    use."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
     qc = (q.crossJoin(F.broadcast(centroids))
@@ -91,7 +98,8 @@ def ivf_knn(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
                         F.col(vec_col).alias("t_vec"), "list_id")
     pairs = (t.join(F.broadcast(probes), "list_id")
              .where(F.col("neighbor_id") != F.col("query_id"))
-             .withColumn("cosine", F.round(_cos("q_vec", "t_vec"), 6)))
+             .withColumn("cosine",
+                         F.round(_cos("q_vec", "t_vec"), round_digits)))
     w2 = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), "neighbor_id")
     return (pairs.withColumn("rk", F.row_number().over(w2))

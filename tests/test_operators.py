@@ -257,6 +257,43 @@ def test_minhash_near_dups_module(spark):
     assert {(r.doc_a, r.doc_b) for r in cand.collect()} >= {(0, 1)}
 
 
+def test_near_dup_removal_end_to_end(spark):
+    """dedup_near on a crafted corpus (r3 verdict item 6): two disjoint
+    near-dup clusters - one a CHAIN (A~B, B~C but A!~C directly, so only
+    transitive closure merges it) - plus an unrelated singleton.  Keep
+    exactly the min-id canonical per cluster + the singleton; clusters
+    carry the right cluster_id and survivor flags."""
+    from ccspark import dedup
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the deep green forest before nightfall today "
+            "while the hunters sleep soundly in their warm wooden cabin")
+    other = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(20))
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base),                                # = 0
+        Row(doc_id=2, text=base.replace("today", "tomorrow")),   # chain link
+        Row(doc_id=3, text=other),
+        Row(doc_id=4, text=other),                               # = 3
+        Row(doc_id=5, text=" ".join(f"tok{i}" for i in range(40))),
+    ])
+    clusters = {r.doc_id: (r.cluster_id, r.survivor)
+                for r in dedup.near_dup_clusters(docs, threshold=0.5)
+                .collect()}
+    assert clusters[0] == (0, True)
+    assert clusters[1] == (0, False)
+    assert clusters[2] == (0, False)      # merged transitively via 0/1
+    assert clusters[3] == (3, True)
+    assert clusters[4] == (3, False)
+    assert 5 not in clusters              # singleton: no near-dup edge
+    kept = {r.doc_id for r in dedup.dedup_near(docs, threshold=0.5)
+            .collect()}
+    assert kept == {0, 3, 5}
+    # threshold gate: at 1.01 nothing can pair, so nothing is dropped
+    all_kept = {r.doc_id for r in dedup.dedup_near(docs, threshold=1.01)
+                .collect()}
+    assert all_kept == {0, 1, 2, 3, 4, 5}
+
+
 def test_simhash_and_ngram_jaccard_modules(spark):
     """Module paths for D5's other members: identical docs share a
     simhash fingerprint and score jaccard 1.0; near-dups differ in few

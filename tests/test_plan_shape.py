@@ -89,6 +89,47 @@ def test_composite_doc_gates_run_before_explode(spark):
     assert shuffles <= 2, shuffles
 
 
+def test_keep_first_map_side_combining(spark):
+    """r3 verdict item 4: dedup.dedup_keep_first - the one shared
+    keep-first implementation, which api.finalize now rides - must be the
+    map-side-combining aggregate (partial phase before the exchange), not
+    a row_number window that shuffles every row."""
+    from pyspark.sql import functions as F
+
+    from ccspark import dedup
+    df = spark.createDataFrame(
+        [(f"u{i % 7}", f"t{i % 3}") for i in range(40)],
+        "url string, text string")
+    df = df.withColumn("_th", F.xxhash64("text"))
+    out = dedup.dedup_keep_first(df, "_th", ("url",))
+    plan = plan_of(out)
+    assert "row_number" not in plan, plan
+    assert "partial_min" in plan, plan
+    assert re.search(r"Exchange hashpartitioning\(_th", plan), plan
+    # semantics: one survivor per text-hash, the min-url one (every text
+    # class co-occurs with u0 in this grid, so u0 wins each class)
+    rows = {r._th: r.url for r in out.collect()}
+    assert len(rows) == 3 and set(rows.values()) == {"u0"}
+
+
+def test_finalize_dedup_is_aggregate(spark):
+    """api.finalize end-to-end: exactly one row_number window (the
+    deterministic per-country cap - bounded per key by construction) and
+    an aggregate-form text dedup with a map-side partial phase."""
+    from ccspark.api import CCSparkCorpus
+    lid_pages = spark.createDataFrame(
+        [(f"http://d{i}.de/p", "Germany", "europe", f"text {i % 5}")
+         for i in range(20)],
+        "url string, country string, region string, text string")
+    out = CCSparkCorpus(spark).finalize(lid_pages)
+    plan = plan_of(out)
+    windows = [ln for ln in plan.splitlines()
+               if re.search(r"\bWindow \[", ln)]
+    assert len(windows) == 1, plan               # the cap, not the dedup
+    assert "partial_min" in plan, plan
+    assert out.count() == 5
+
+
 def test_domain_gate_joins_broadcast_semi(spark):
     """The wholesale domain gate (build_training_corpus(domain_min_keep=
     ...)) must rejoin the surviving-domain set as a BROADCAST left-semi
