@@ -175,6 +175,28 @@ US_STATES = ("al ak az ar ca co ct de dc fl ga hi id il in ia ks ky la me "
 # arm in geo.domain_expr.
 US_FOURTH = ["pvt.k12.ma.us", "chtr.k12.ma.us", "paroch.k12.ma.us"]
 
+# PRIVATE DOMAINS section (r3 verdict item 2 follow-through: the full
+# upstream file remains un-vendorable offline, but the private-domain
+# RULE CLASS - which tldextract's default configuration, and therefore
+# the reference's utilities.py:226-228 extraction, includes - was absent
+# entirely).  Well-known hosting/platform suffixes whose subscribers are
+# independent registrants: user.github.io and myblog.blogspot.com must
+# yield registrable domains 'user'/'myblog', NOT 'github'/'blogspot' -
+# otherwise every platform-hosted page collapses into one giant pseudo
+# domain, poisoning the MNC anti-join key, the wholesale domain-quality
+# rollup and the greedy per-domain chunker alike.
+PRIVATE_EXACT = [
+    "blogspot.com", "github.io", "githubusercontent.com", "gitlab.io",
+    "herokuapp.com", "appspot.com", "firebaseapp.com", "web.app",
+    "netlify.app", "vercel.app", "pages.dev", "workers.dev",
+    "wordpress.com", "azurewebsites.net", "cloudfront.net",
+    "s3.amazonaws.com", "neocities.org", "readthedocs.io",
+    "onrender.com", "glitch.me", "fly.dev",
+]
+# wildcard private rules: every label under the parent is itself a
+# public suffix (EC2 hostnames: vm.x.compute.amazonaws.com -> 'vm')
+PRIVATE_WILDCARD = ["compute.amazonaws.com", "compute-1.amazonaws.com"]
+
 
 def main() -> None:
     lines = [
@@ -205,6 +227,14 @@ def main() -> None:
         for sub in ("k12", "cc", "lib"):
             lines.append(f"{sub}.{st}.us")
     lines.extend(US_FOURTH)
+    # upstream section markers (comment lines; the loader applies rules
+    # from both sections, matching tldextract's default = the reference)
+    lines.append("")
+    lines.append("// ===BEGIN PRIVATE DOMAINS===")
+    lines.extend(sorted(PRIVATE_EXACT))
+    for w in PRIVATE_WILDCARD:
+        lines.append(f"*.{w}")
+    lines.append("// ===END PRIVATE DOMAINS===")
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "ccspark", "data", "psl_snapshot.dat")
     with open(out, "w", encoding="utf-8") as f:

@@ -44,6 +44,17 @@ PSL_CASES = {
     "trademe.co.nz": "trademe",
     "localhost": "localhost",
     "deep.sub.example.org": "example",
+    # PRIVATE DOMAINS section (tldextract default = the reference's
+    # config includes these): platform subscribers are independent
+    # registrants, NOT subdomains of the platform
+    "myblog.blogspot.com": "myblog",
+    "www.myblog.blogspot.com": "myblog",
+    "user.github.io": "user",
+    "app-prod.herokuapp.com": "app-prod",
+    "bucket.s3.amazonaws.com": "bucket",             # 3-label private rule
+    "vm.host7.compute.amazonaws.com": "vm",          # *.compute.amazonaws.com
+    "docs.readthedocs.io": "docs",
+    "www.blogspot.com": "www",       # private suffix beats com fallback
 }
 
 
