@@ -47,12 +47,14 @@ pages = (pages.crossJoin(spark.range(replicas).withColumnRenamed("id", "copy"))
 pages = pages.persist()                 # timed region = the pipeline only,
 n = pages.count()                       # not the replication fixture prep
 pipeline.corpus_lines(pages).count()          # warm (JVM+python workers)
-t = float("inf")                              # min-of-3: the sandbox VM
-rows = 0                                      # sees bursts of host CPU
-for _ in range(2):                            # steal that would otherwise
-    t0 = time.time()                          # dominate a single sample
-    rows = pipeline.corpus_lines(pages).count()
-    t = min(t, time.time() - t0)
+t = float("inf")                              # min-of-3 AFTER warm, same k
+rows = 0                                      # in both phases: the ratio
+for _ in range(3):                            # T_N/(4*T_4N) is pathologically
+    t0 = time.time()                          # sensitive to pairing one
+    rows = pipeline.corpus_lines(pages).count()   # phase's best sample with
+    t = min(t, time.time() - t0)              # the other's worst (r4 analysis
+                                              # in BENCH.md), so push both
+                                              # mins toward their true floor
 print(json.dumps({"cores": cores, "docs": n, "rows": rows,
                   "sec": round(t, 2),
                   "docs_per_sec": round(n / t, 1)}))
