@@ -235,24 +235,86 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 3,
     )
 
 
+def connected_components(edges: DataFrame, src_col: str = "src",
+                         dst_col: str = "dst",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components of an undirected edge list in LOGARITHMIC
+    rounds - the hash-to-min algorithm (Rastogi et al. 2013, "Finding
+    Connected Components in Map-Reduce in Logarithmic Rounds").
+
+    Each round, every node u computes m(u) = min of its closed
+    neighborhood and the whole neighborhood is re-wired into a star
+    around m(u); the global minimum's reach roughly doubles per round
+    (pointer-doubling), so a length-n chain - the adversarial case where
+    naive min-label propagation needs ~n rounds - converges in ~log2 n
+    (asserted in tests).  Per round: one groupBy(u) aggregate + one join
+    on u + one distinct, all keyed on node ids - at 10^12-doc scale each
+    is a plain hash shuffle on an 8-byte key, and the edge set shrinks
+    toward one star per component (<= n edges total).
+
+    Convergence = canonical edge set unchanged (checked via count +
+    order-insensitive hash digest - a fixpoint is exactly the star
+    forest whose centers are the component minima).  Returns one row per
+    node that appears in any edge: (node, cluster_id = component min)."""
+    # localCheckpoint (eager), NOT persist: every round's frame otherwise
+    # carries the whole previous rounds' logical plan, and Catalyst
+    # re-analyzes the growing tree on each action - the classic iterative
+    # -algorithm trap (plan growth is quadratic; lineage truncation keeps
+    # each round's plan O(1)).  On a real cluster with failure tolerance
+    # use reliable checkpoint(dir) instead - same call shape.
+    e = (edges.select(F.least(src_col, dst_col).alias("a"),
+                      F.greatest(src_col, dst_col).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct().localCheckpoint())
+
+    def digest(df):
+        # bit_xor: order-insensitive, ANSI-overflow-proof (edges are
+        # distinct, so XOR cancellation can't produce a false match
+        # beyond ordinary 64-bit collision odds, and count is checked too)
+        row = df.agg(F.count("*").alias("n"),
+                     F.expr("bit_xor(xxhash64(a, b))").alias("h")) \
+                .collect()[0]
+        return row["n"], row["h"]
+
+    prev = digest(e)
+    for _ in range(max_iter):
+        nbrs = e.union(e.select(F.col("b").alias("a"),
+                                F.col("a").alias("b")))      # (u, v) both ways
+        mins = (nbrs.groupBy("a").agg(F.min("b").alias("_mb"))
+                .select("a", F.least("_mb", "a").alias("m")))
+        star = (nbrs.join(mins, "a")                          # (v, m(u)) for
+                .select(F.col("b").alias("x"),                # v in nbr(u)
+                        F.col("m").alias("y"))
+                .union(mins.select(F.col("a").alias("x"),     # + (u, m(u))
+                                   F.col("m").alias("y"))))
+        new_e = (star.select(F.least("x", "y").alias("a"),
+                             F.greatest("x", "y").alias("b"))
+                 .where(F.col("a") != F.col("b")).distinct()
+                 .localCheckpoint())
+        cur = digest(new_e)
+        e = new_e
+        if cur == prev:
+            break
+        prev = cur
+    out = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .groupBy("a").agg(F.min("b").alias("_mb"))
+           .select(F.col("a").alias("node"),
+                   F.least("_mb", "a").alias("cluster_id")))
+    return out
+
+
 def near_dup_clusters(docs: DataFrame, threshold: float = 0.5,
                       text_col: str = "text", k: int = 3,
                       num_hashes: int = 12, bands: int = 4,
                       id_col: str = "doc_id",
-                      max_iter: int = 20) -> DataFrame:
+                      max_iter: int = 50) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup graph
     (r3 verdict item 6: candidate PAIRS alone don't dedup anything - a
     training-data user needs the survivor set).
 
     Edges = LSH candidate pairs with estimated Jaccard >= *threshold*;
-    components via iterative min-label propagation (each node repeatedly
-    adopts the smallest label among itself and its neighbors), which
-    converges in O(diameter) rounds - near-dup clusters are shallow
-    (dup farms form stars around a template), so the loop is short.  At
-    10^12-doc scale swap the propagation loop for the alternating
-    large-star/small-star rounds of Kiveris et al. (2014) - same join
-    primitives, O(log n) rounds on adversarial chains; the fixture-scale
-    loop keeps the exact same edge construction and output contract.
+    components via ``connected_components`` (hash-to-min, logarithmic
+    rounds - scale-right even on adversarial chain-shaped dup graphs,
+    not just the shallow star clusters dup farms usually form).
 
     Returns one row per document that appears in ANY qualifying pair:
     (id_col, cluster_id = min doc id reachable, survivor = doc IS the
@@ -260,29 +322,12 @@ def near_dup_clusters(docs: DataFrame, threshold: float = 0.5,
     survivors)."""
     pairs = (minhash_near_dups(docs, text_col, k, num_hashes, bands, id_col)
              .where(F.col("jaccard_est") >= threshold)
-             .select("doc_a", "doc_b").persist())
-    edges = pairs.union(pairs.select("doc_b", "doc_a")) \
-                 .toDF("src", "dst").persist()
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")).persist())
-    prev_sum = None
-    for _ in range(max_iter):
-        msgs = (edges.join(labels, edges.src == labels.node)
-                .select(F.col("dst").alias("node"), "label"))
-        new_labels = (msgs.unionByName(labels)
-                      .groupBy("node").agg(F.min("label").alias("label"))
-                      .persist())
-        # labels only ever decrease, so an unchanged sum == fixpoint
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    out = labels.select(F.col("node").alias(id_col),
-                        F.col("label").alias("cluster_id"),
-                        (F.col("node") == F.col("label")).alias("survivor"))
-    return out
+             .select("doc_a", "doc_b"))
+    cc = connected_components(pairs, "doc_a", "doc_b", max_iter=max_iter)
+    return cc.select(F.col("node").alias(id_col),
+                     "cluster_id",
+                     (F.col("node") == F.col("cluster_id"))
+                     .alias("survivor"))
 
 
 def dedup_near(docs: DataFrame, threshold: float = 0.5,

@@ -257,6 +257,52 @@ def test_minhash_near_dups_module(spark):
     assert {(r.doc_a, r.doc_b) for r in cand.collect()} >= {(0, 1)}
 
 
+def test_connected_components_hash_to_min(spark):
+    """dedup.connected_components vs a union-find ground truth on graph
+    shapes that stress different properties - including a 100-node CHAIN
+    with max_iter=12: naive min-label propagation needs ~99 rounds there,
+    so passing under the tight cap proves the logarithmic-round
+    (hash-to-min) behavior, not just correctness."""
+    import random
+
+    from ccspark import dedup
+
+    def truth_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(7)
+    graphs = {
+        "chain100": [(i, i + 1) for i in range(99)],
+        "two_comps": [(0, 1), (1, 2), (10, 11), (12, 11)],
+        "star": [(5, i) for i in range(6, 20)],
+        "cycle": [(i, (i + 1) % 30) for i in range(30)],
+        "random": [(rng.randrange(200), rng.randrange(200))
+                   for _ in range(150)],
+        "dup_edges": [(3, 9), (9, 3), (3, 9), (4, 4)],
+    }
+    for name, edges in graphs.items():
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {r.node: r.cluster_id
+               for r in dedup.connected_components(df, max_iter=12)
+               .collect()}
+        want = truth_labels(edges)
+        assert got == want, (name, got, want)
+
+
 def test_near_dup_removal_end_to_end(spark):
     """dedup_near on a crafted corpus (r3 verdict item 6): two disjoint
     near-dup clusters - one a CHAIN (A~B, B~C but A!~C directly, so only
