@@ -59,11 +59,16 @@ def dedup_keep_first(df: DataFrame, key: str = "hash",
 
     THE shared keep-first implementation (r3 verdict item 4 unified the
     former window form here): groupBy + min(struct(order, rest)) rather
-    than a row_number window, because hash aggregation gets a map-side
-    partial phase - duplicate-heavy data collapses before the exchange,
+    than a row_number window, because the aggregate gets a MAP-SIDE
+    PARTIAL phase - duplicate-heavy data collapses before the exchange,
     while a window must shuffle every row.  At 10^12-doc scale that is
     the difference between shuffling every line and shuffling one per
-    distinct key per task.  Struct comparison is field-order
+    distinct key per task.  (The physical op is SortAggregate, not
+    HashAggregate: Spark's hash-agg needs fixed-width mutable buffers
+    and the payload is var-width - measured r4 that min(string)/min_by
+    hit the same constraint, so this is the best plan available for
+    keep-first-by-(url, line_id) semantics; the partial combine is the
+    part that matters.)  Struct comparison is field-order
     lexicographic, so min() == first-by-*order*.  Output preserves the
     input column order."""
     order_cols = [c for c in order if c in df.columns]
