@@ -186,6 +186,17 @@ def main() -> None:
                      "simhash", "c4_span_dedup"):
             sql = Q.QUERY_BUILDERS[name](SPARK)
             timed1(name, lambda s=sql: spark.sql(s).count())
+        # production near-dup fast path (xxhash64 family) vs the
+        # cross-engine md5 family the graded query uses: same module,
+        # same plan shape, cheaper per-shingle hash (r4)
+        from ccspark import dedup as dedup_mod
+        timed1("minhash_pairs_md5_module",
+               lambda: dedup_mod.minhash_near_dups(
+                   docs1, num_hashes=12, bands=4).count())
+        timed1("minhash_pairs_xxh64_module",
+               lambda: dedup_mod.minhash_near_dups(
+                   docs1, num_hashes=12, bands=4,
+                   hash_family="xxhash64").count())
         pages1.unpersist()
         docs1.unpersist()
         out["queries_sf1"] = t1

@@ -338,6 +338,20 @@ class CCSparkCorpus:
         return quality.remove_outliers(docs, group_cols,
                                        z_cut=z_cut, min_words=min_words)
 
+    def decontaminate(self, docs: DataFrame, benchmark: DataFrame,
+                      n: int = 13, remove: bool = True,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+        """Benchmark decontamination (ccspark.decontam): drop (or flag,
+        ``remove=False``) documents sharing any normalized word *n*-gram
+        with the *benchmark* eval set.  Corpus-shuffle-free: the
+        benchmark's gram hashes broadcast, only matching rows aggregate.
+        Driver-graded as query ``decontamination``."""
+        from ccspark import decontam
+        fn = decontam.remove_contaminated if remove else \
+            decontam.decontaminate
+        return fn(docs, benchmark, n=n, id_col=id_col, text_col=text_col)
+
     # ---- scrub + filter mining ----
 
     def scrub(self, df: DataFrame, text_col: str = "text") -> DataFrame:

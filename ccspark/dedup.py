@@ -103,15 +103,27 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 3,
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 16,
-                       id_col: str = "doc_id") -> DataFrame:
-    """Wide MinHash signature: ONE md5 per shingle reduced to a 31-bit
-    int h, then num_hashes affine hashes h_i = (a_i*h + b_i) mod (2^31-1)
-    aggregated as min() COLUMNS in a single groupBy - no per-seed row
-    explosion, one shuffle.  31-bit values keep a_i*h inside int64
-    (Spark 4 ANSI mode raises on bigint overflow)."""
+                       id_col: str = "doc_id",
+                       hash_family: str = "md5") -> DataFrame:
+    """Wide MinHash signature: ONE base hash per shingle reduced to a
+    31-bit int h, then num_hashes affine hashes h_i = (a_i*h + b_i) mod
+    (2^31-1) aggregated as min() COLUMNS in a single groupBy - no
+    per-seed row explosion, one shuffle.  31-bit values keep a_i*h
+    inside int64 (Spark 4 ANSI mode raises on bigint overflow).
+
+    *hash_family*: ``md5`` (default) is cross-engine stable so the DuckDB
+    oracle verifies signatures value-for-value; ``xxhash64`` is the
+    PRODUCTION fast path (JVM long straight from codegen - no hex
+    string materialization/parse per shingle).  Either family is a
+    uniform hash, so near-dup quality is identical; only the concrete
+    signature values differ (pair-level equivalence on duplicate-heavy
+    fixtures is pytest-asserted, and bench.py times both)."""
     P = 2147483647
-    h = (F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10)
-         .cast("long"))
+    if hash_family == "xxhash64":
+        h = F.pmod(F.xxhash64("shingle"), F.lit(P)).cast("long")
+    else:
+        h = (F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10)
+             .cast("long"))
     hashed = sh.select(id_col, h.alias("_h"))
     mins = [
         F.min((F.lit(1103515245 + 2 * i) * F.col("_h")
@@ -122,9 +134,12 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16,
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 4,
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        hash_family: str = "md5") -> DataFrame:
     """Band the wide signature (rows_per_band = num_hashes/bands), bucket
-    by the band digest, emit candidate pairs sharing any bucket."""
+    by the band digest, emit candidate pairs sharing any bucket.
+    ``hash_family='xxhash64'`` digests the band columns directly
+    (multi-arg xxhash64, an 8-byte join key) instead of md5-of-concat."""
     mcols = [c for c in sig.columns if c.startswith("m")]
     rows_per_band = max(1, len(mcols) // bands)
     # ONE posexplode of the per-band digest array instead of a bands-way
@@ -134,7 +149,11 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4,
     for bi in range(bands):
         cols = mcols[bi * rows_per_band:(bi + 1) * rows_per_band]
         if cols:
-            band_digests.append(F.md5(F.concat_ws(",", *cols)))
+            if hash_family == "xxhash64":
+                band_digests.append(
+                    F.xxhash64(*[F.col(c) for c in cols]).cast("string"))
+            else:
+                band_digests.append(F.md5(F.concat_ws(",", *cols)))
     digests = sig.select(
         id_col, F.posexplode(F.array(*band_digests))
         .alias("band", "digest"))
@@ -150,12 +169,15 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4,
 
 def minhash_near_dups(docs: DataFrame, text_col: str = "text", k: int = 3,
                       num_hashes: int = 16, bands: int = 4,
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      hash_family: str = "md5") -> DataFrame:
     """End-to-end MinHash-LSH near-dup candidate pairs with estimated
-    Jaccard (fraction of agreeing minhash columns)."""
+    Jaccard (fraction of agreeing minhash columns).  Pass
+    ``hash_family='xxhash64'`` for the production fast path (same
+    candidate quality, no cross-engine md5 verifiability)."""
     sh = shingles(docs, text_col, k, id_col)
-    sig = minhash_signatures(sh, num_hashes, id_col)
-    pairs = lsh_candidate_pairs(sig, bands, id_col)
+    sig = minhash_signatures(sh, num_hashes, id_col, hash_family)
+    pairs = lsh_candidate_pairs(sig, bands, id_col, hash_family)
     mcols = [c for c in sig.columns if c.startswith("m")]
     sa = sig.select(F.col(id_col).alias("doc_a"),
                     *[F.col(c).alias(f"a_{c}") for c in mcols])
@@ -311,7 +333,8 @@ def near_dup_clusters(docs: DataFrame, threshold: float = 0.5,
                       text_col: str = "text", k: int = 3,
                       num_hashes: int = 12, bands: int = 4,
                       id_col: str = "doc_id",
-                      max_iter: int = 50) -> DataFrame:
+                      max_iter: int = 50,
+                      hash_family: str = "md5") -> DataFrame:
     """Connected components over the MinHash-LSH near-dup graph
     (r3 verdict item 6: candidate PAIRS alone don't dedup anything - a
     training-data user needs the survivor set).
@@ -325,7 +348,8 @@ def near_dup_clusters(docs: DataFrame, threshold: float = 0.5,
     (id_col, cluster_id = min doc id reachable, survivor = doc IS the
     cluster minimum).  Documents with no near-dup are absent (trivially
     survivors)."""
-    pairs = (minhash_near_dups(docs, text_col, k, num_hashes, bands, id_col)
+    pairs = (minhash_near_dups(docs, text_col, k, num_hashes, bands,
+                               id_col, hash_family)
              .where(F.col("jaccard_est") >= threshold)
              .select("doc_a", "doc_b"))
     cc = connected_components(pairs, "doc_a", "doc_b", max_iter=max_iter)
@@ -338,14 +362,16 @@ def near_dup_clusters(docs: DataFrame, threshold: float = 0.5,
 def dedup_near(docs: DataFrame, threshold: float = 0.5,
                text_col: str = "text", k: int = 3,
                num_hashes: int = 12, bands: int = 4,
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               hash_family: str = "md5") -> DataFrame:
     """End-to-end near-duplicate REMOVAL: keep one canonical document
     (the cluster-minimum id) per near-dup cluster, plus every document
     with no near-dup.  The non-survivor set is small relative to the
     corpus (it is the duplicates), so the removal join broadcasts when
     Spark's threshold allows and anti-joins on the 8-byte id otherwise."""
     clusters = near_dup_clusters(docs, threshold, text_col, k,
-                                 num_hashes, bands, id_col)
+                                 num_hashes, bands, id_col,
+                                 hash_family=hash_family)
     losers = clusters.where(~F.col("survivor")).select(id_col)
     return docs.join(losers, id_col, "left_anti")
 

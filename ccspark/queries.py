@@ -1614,6 +1614,118 @@ def _mq_greedy_domain_totals(spark, sf_dir):
             .agg(F.sum("n_words").cast("bigint").alias("total_words")))
 
 
+def _mq_greedy_domain_suite(spark, sf_dir):
+    """greedy_domain_chunks + greedy_domain_totals TAG-UNIONED into one
+    graded slot (the sign_lsh_suite fold pattern; the freed slot went to
+    ``decontamination``).  Zero verified values lost: branch 'chunks' is
+    the full exact-greedy emission (every column), branch 'totals' the
+    per-domain aggregate invariant, each still hash-compared against its
+    original independent oracle (the DuckDB RECURSIVE accumulator and the
+    raw-line word-total recount respectively, unioned the same way)."""
+    from pyspark.sql import functions as F
+    a = (_mq_greedy_domain_chunks(spark, sf_dir)
+         .select(F.lit("chunks").alias("op"), "domain",
+                 F.col("chunk_id").cast("bigint").alias("chunk_id"),
+                 F.col("n_words").cast("bigint").alias("n_words"), "text"))
+    b = (_mq_greedy_domain_totals(spark, sf_dir)
+         .select(F.lit("totals").alias("op"), "domain",
+                 F.lit(None).cast("bigint").alias("chunk_id"),
+                 F.col("total_words").alias("n_words"),
+                 F.lit(None).cast("string").alias("text")))
+    return a.unionByName(b)
+
+
+def _greedy_suite_oracle() -> str:
+    return f"""SELECT 'chunks' AS op, domain,
+       cast(chunk_id AS bigint) AS chunk_id,
+       cast(n_words AS bigint) AS n_words, text
+FROM ({_greedy_chunks_oracle()}) c
+UNION ALL
+SELECT 'totals' AS op, domain, cast(NULL AS bigint) AS chunk_id,
+       total_words AS n_words, cast(NULL AS varchar) AS text
+FROM ({q_greedy_domain_totals(DUCK)}) t"""
+
+
+# ==========================================================================
+# Benchmark decontamination (ccspark.decontam): the driver-graded pair.
+# The benchmark is synthesized deterministically IN-QUERY from documents:
+# every 29th doc with >= 16 normalized words contributes its words 4..16
+# as one 13-gram "eval prompt" (so those docs are contaminated by
+# construction, as is any doc sharing the same normalized span - the
+# fixture's exact-duplicate docs exercise that path), plus one control
+# prompt that can never match.
+
+DECON_N = 13
+DECON_BENCH_MOD = 29
+_DECON_CONTROL = " ".join(f"zzdecon{i}" for i in range(DECON_N))
+
+
+def _decon_bench_sql(d: str) -> str:
+    """Benchmark relation (one column ``text``) - rendered identically
+    for the Spark module side and the DuckDB oracle side."""
+    from ccspark import decontam as DC
+    w = DC.norm_words(d, "text")
+    if d == SPARK:
+        sl = f"concat_ws(' ', slice({w}, 4, {DECON_N}))"
+    else:
+        sl = f"array_to_string({w}[4:{DECON_N + 3}], ' ')"
+    from ccspark.sqlgen import arr_len
+    return f"""SELECT DISTINCT gram AS text FROM (
+  SELECT {sl} AS gram FROM documents
+  WHERE doc_id % {DECON_BENCH_MOD} = 0 AND {arr_len(d, w)} >= {DECON_N + 3}
+  UNION ALL SELECT '{_DECON_CONTROL}'
+) b"""
+
+
+def q_decontamination(d: str) -> str:
+    """Benchmark decontamination as ONE dual-dialect statement: per doc,
+    is any normalized word 13-gram shared with the benchmark set, and how
+    many distinct benchmark grams hit (GPT-3 appendix C / C4 / FineWeb
+    hygiene rule).  The DuckDB rendering is the driver oracle - it
+    matches gram STRINGS, while the production module path
+    (_mq_decontamination, the graded Spark side) matches xxhash64 hashes
+    of the same grams: a green value-hash proves the broadcast-hash fast
+    path implements exactly the string-overlap semantics.  The Spark
+    rendering of THIS template is the pytest parity anchor
+    (tests/test_decontam.py asserts module == SQL)."""
+    from ccspark import decontam as DC
+    w = DC.norm_words(d, "text")
+    grams = DC.gram_array(d, "w", DECON_N)
+    if d == SPARK:
+        ex = (f"SELECT doc_id, gram FROM docs "
+              f"LATERAL VIEW explode({grams}) t AS gram")
+    else:
+        ex = f"SELECT doc_id, unnest({grams}) AS gram FROM docs"
+    return f"""WITH docs AS (SELECT doc_id, {w} AS w FROM documents),
+bench AS ({_decon_bench_sql(d)}),
+doc_grams AS (SELECT DISTINCT doc_id, gram FROM ({ex}) g),
+hits AS (
+  SELECT dg.doc_id, cast(count(*) AS bigint) AS n_hits
+  FROM doc_grams dg JOIN bench b ON b.text = dg.gram
+  GROUP BY dg.doc_id
+)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated,
+       cast(coalesce(h.n_hits, 0) AS bigint) AS n_hits
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id"""
+
+
+def _mq_decontamination(spark, sf_dir):
+    """PRODUCTION decontamination path (ccspark.decontam.decontaminate):
+    corpus-shuffle-free broadcast-hash overlap - gram hashes in one
+    codegen projection, explode, BroadcastHashJoin vs the benchmark hash
+    set, tiny count-distinct, broadcast rejoin.  Hash-compared against
+    q_decontamination(DUCK), which recomputes the overlap on the raw
+    gram strings."""
+    from pyspark.sql import functions as F
+
+    from ccspark import decontam as DC
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    bench = spark.sql(_decon_bench_sql(SPARK))
+    out = DC.decontaminate(docs.select("doc_id", "text"), bench, n=DECON_N)
+    return out.select("doc_id", "contaminated", F.col("n_hits"))
+
+
 def _mq_ivf_recall(spark, sf_dir):
     """Assertion query: query vectors where IVF at nprobe = n_lists (full
     probe) diverges from the exact brute-force kNN - expected EMPTY (the
@@ -1955,8 +2067,10 @@ MODULE_QUERIES = {
     "lid_ngram": _mq_lid_ngram,
     "dual_lid_agreement": _mq_dual_lid_agreement,
     "ann_recall": _mq_ann_recall,
-    "greedy_domain_chunks": _mq_greedy_domain_chunks,
-    "greedy_domain_totals": _mq_greedy_domain_totals,
+    # chunks + totals tag-unioned into one slot (r4); the freed slot is
+    # the decontamination operator, fully value-graded
+    "greedy_domain_suite": _mq_greedy_domain_suite,
+    "decontamination": _mq_decontamination,
     "salted_domain_counts": _mq_salted_domain_counts,
     "incremental_dedup": _mq_incremental_dedup,
     "domain_quality": _mq_domain_quality,
@@ -1977,8 +2091,8 @@ MODULE_ORACLES = {
     "dual_lid_agreement": q_dual_lid_agreement(DUCK),
     "gopher_quality_ml": q_gopher_quality_ml(DUCK),
     "ann_recall": _ANN_RECALL_ORACLE,
-    "greedy_domain_chunks": _greedy_chunks_oracle(),
-    "greedy_domain_totals": q_greedy_domain_totals(DUCK),
+    "greedy_domain_suite": _greedy_suite_oracle(),
+    "decontamination": q_decontamination(DUCK),
     "salted_domain_counts": _salted_counts_oracle(),
     "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
     "domain_quality": _domain_quality_oracle(),

@@ -257,6 +257,34 @@ def test_minhash_near_dups_module(spark):
     assert {(r.doc_a, r.doc_b) for r in cand.collect()} >= {(0, 1)}
 
 
+def test_minhash_xxhash64_fast_path(spark):
+    """hash_family='xxhash64' (production fast path: JVM long straight
+    from codegen, no per-shingle hex string) must reach the same
+    pair-level verdicts as the cross-engine md5 family: same near-dup
+    pair caught at the same >= 0.5 estimate, same unrelated doc left
+    alone, and exact duplicates at estimate 1.0 under BOTH families."""
+    from ccspark import dedup
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the deep green forest before nightfall today")
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base.replace("today", "tomorrow")),
+        Row(doc_id=2, text=" ".join(f"token{i}" for i in range(40))),
+        Row(doc_id=3, text=base),                       # exact dup of 0
+    ])
+    for fam in ("md5", "xxhash64"):
+        pairs = dedup.minhash_near_dups(docs, hash_family=fam).collect()
+        got = {(r.doc_a, r.doc_b): r.jaccard_est for r in pairs}
+        assert got[(0, 3)] == 1.0, fam
+        assert got[(0, 1)] >= 0.5, fam
+        assert not any(2 in p for p in got), fam
+    # removal end-to-end rides the same parameter
+    kept = {r.doc_id for r in
+            dedup.dedup_near(docs, threshold=0.95,
+                             hash_family="xxhash64").collect()}
+    assert kept == {0, 1, 2}
+
+
 def test_connected_components_hash_to_min(spark):
     """dedup.connected_components vs a union-find ground truth on graph
     shapes that stress different properties - including a 100-node CHAIN
