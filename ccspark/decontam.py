@@ -60,6 +60,11 @@ def norm_words(d: str, e: str) -> str:
 def gram_array(d: str, words: str, n: int = DEFAULT_N) -> str:
     """Array of word ``n``-grams (space-joined) over a words-array expr.
 
+    *words* MUST be a bound COLUMN (projection/CTE), never an inline
+    split expression: it is referenced inside the transform LAMBDA BODY,
+    and HOF lambdas are interpreted - an inlined expression re-evaluates
+    once per array element (see dedup.shingles, r4).
+
     Docs shorter than *n* words yield an empty set: the guarded sequence
     emits one degenerate short slice which the space-count filter drops.
     """

@@ -93,13 +93,22 @@ def dedup_keep_none(df: DataFrame, key: str = "hash") -> DataFrame:
 
 def shingles(df: DataFrame, text_col: str = "text", k: int = 3,
              id_col: str = "doc_id") -> DataFrame:
-    """Word k-gram shingle set per document (distinct)."""
-    words = F.split(F.col(text_col), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-    return (df.select(id_col, F.explode(F.array_distinct(sh)).alias("shingle"))
-              .where(F.length("shingle") > 0))
+    """Word k-gram shingle set per document (distinct).
+
+    The split is BOUND to a projection column before the ``transform``
+    lambda references it: higher-order functions are interpreted (not
+    whole-stage codegen), so an expression inlined into the lambda body
+    re-evaluates once PER ARRAY ELEMENT - with ~50-word docs that was a
+    measured 3.6x slowdown (r4; the words array was re-split ~50 times
+    per doc).  Same rule for every HOF in the SQL templates: compute the
+    array in a CTE, reference the column."""
+    words = df.select(id_col, F.split(F.col(text_col), " ").alias("_w"))
+    wcol = F.col("_w")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(wcol) - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(wcol, i + 1, k)))
+    return (words.select(id_col,
+                         F.explode(F.array_distinct(sh)).alias("shingle"))
+            .where(F.length("shingle") > 0))
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 16,

@@ -65,11 +65,16 @@ def train(docs: DataFrame, n: int = 3, text_col: str = "text",
           label_col: str = "lang", top_k: int = 4000) -> NgramLidModel:
     """Distributed training: explode char n-grams, count per (lang, gram),
     keep the top_k grams by global frequency, Laplace-smooth."""
+    # the padded-lower text is BOUND to a projection column before the
+    # lambda references it: HOFs are interpreted, so an inlined concat/
+    # lower re-evaluates once per character position - O(len^2) on long
+    # docs (r4; same rule as dedup.shingles)
     t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-    idx = F.sequence(F.lit(0), F.greatest(F.length(t) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.substring(t, i + 1, n))
-    g = (docs.select(F.col(label_col).alias("lang"),
-                     F.explode(grams).alias("gram"))
+    padded = docs.select(F.col(label_col).alias("lang"), t.alias("_t"))
+    tcol = F.col("_t")
+    idx = F.sequence(F.lit(0), F.greatest(F.length(tcol) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.substring(tcol, i + 1, n))
+    g = (padded.select("lang", F.explode(grams).alias("gram"))
          .where(F.length("gram") == n))
     counts = g.groupBy("lang", "gram").count()
     vocab_rows = (counts.groupBy("gram").agg(F.sum("count").alias("n"))

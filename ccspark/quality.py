@@ -541,11 +541,17 @@ def c4_span_dedup(docs: DataFrame, text_col: str = "text",
     one shuffle on the span hash with map-side partial aggregation via
     min(struct), the same 100x-safe plan as line dedup."""
     from ccspark.sqlgen import SPARK as _S
+    # sentence array bound to a projection column before the lambda
+    # references it (interpreted HOFs re-evaluate lambda-body exprs per
+    # element - the regex sentence split ran once per span; r4, see
+    # dedup.shingles)
     arr = c4_sentences_expr(_S, text_col)
-    spans = (f"transform(sequence(1, greatest(size({arr}) - {span - 1}, 1)),"
-             f" i -> concat_ws(' ', slice({arr}, i, {span})))")
-    ex = docs.select(
-        F.col(id_col).alias("doc_id"),
+    sents = docs.select(F.col(id_col).alias("doc_id"),
+                        F.expr(arr).alias("_s"))
+    spans = (f"transform(sequence(1, greatest(size(_s) - {span - 1}, 1)),"
+             f" i -> concat_ws(' ', slice(_s, i, {span})))")
+    ex = sents.select(
+        "doc_id",
         F.posexplode(F.expr(spans)).alias("span_idx", "span_text"))
     ex = ex.where(F.length("span_text") > 0).withColumn(
         "span_hash", F.md5("span_text")).drop("span_text")
@@ -588,13 +594,17 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text",
     t = dict(GOPHER_REP_THRESHOLDS, **(thresholds or {}))
     base = docs.select(F.col(id_col).alias("doc_id"),
                        F.col(text_col).alias("text"))
+    # words bound once below the explodes (interpreted HOFs re-evaluate
+    # lambda-body exprs per element - the regex split+filter ran once
+    # per gram, x4 gram sizes; r4, see dedup.shingles)
     words = "filter(split(text, '\\\\s+'), x -> x != '')"
+    wbase = base.select("doc_id", F.expr(words).alias("_w"))
 
     def gram_df(n):
-        spans = (f"transform(sequence(1, greatest(size({words}) - {n - 1},"
-                 f" 1)), i -> concat_ws(' ', slice({words}, i, {n})))")
-        g = base.select("doc_id", F.lit(n).alias("n"),
-                        F.explode(F.expr(spans)).alias("gram"))
+        spans = (f"transform(sequence(1, greatest(size(_w) - {n - 1},"
+                 f" 1)), i -> concat_ws(' ', slice(_w, i, {n})))")
+        g = wbase.select("doc_id", F.lit(n).alias("n"),
+                         F.explode(F.expr(spans)).alias("gram"))
         return g.where(F.length("gram") - F.length(
             F.regexp_replace("gram", " ", "")) == n - 1)
 

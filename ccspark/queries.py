@@ -485,23 +485,27 @@ def q_gopher_repetition(d: str) -> str:
     else:
         words = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
 
+    # words bound in a CTE below the four explodes (inlined regex
+    # split+filter re-evaluates per element inside interpreted HOF
+    # lambdas, x4 gram sizes - see dedup.shingles, r4)
     def grams(n: int) -> str:
         if d == SPARK:
-            spans = (f"transform(sequence(1, greatest(size({words}) - "
+            spans = (f"transform(sequence(1, greatest(size(w) - "
                      f"{n - 1}, 1)), i -> concat_ws(' ', "
-                     f"slice({words}, i, {n})))")
-            return (f"SELECT doc_id, {n} AS n, gram FROM pages "
+                     f"slice(w, i, {n})))")
+            return (f"SELECT doc_id, {n} AS n, gram FROM pw "
                     f"LATERAL VIEW explode({spans}) t AS gram")
         spans = (f"list_transform(generate_series(1, "
-                 f"greatest(len({words}) - {n - 1}, 1)), "
-                 f"i -> array_to_string({words}[i:i+{n - 1}], ' '))")
-        return f"SELECT doc_id, {n} AS n, unnest({spans}) AS gram FROM pages"
+                 f"greatest(len(w) - {n - 1}, 1)), "
+                 f"i -> array_to_string(w[i:i+{n - 1}], ' '))")
+        return f"SELECT doc_id, {n} AS n, unnest({spans}) AS gram FROM pw"
 
     union = "\n  UNION ALL ".join(grams(n) for n in (2, 3, 4, 5))
     fr = ("round(coalesce({c}, 0) * 1e0 / greatest(length(p.text), 1), 4)")
     f2, f3, f4 = (fr.format(c=f"t.top{n}_chars") for n in (2, 3, 4))
     f5 = fr.format(c="d.dup5_chars")
     return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} pp),
+pw AS (SELECT doc_id, {words} AS w FROM pages),
 grams AS ({union}),
 cnt AS (
   SELECT doc_id, n, gram, count(*) AS c,
@@ -568,20 +572,24 @@ def q_c4_span_dedup(d: str, span: int = 3) -> str:
     (asserted identical in tests/test_gopher.py); one shuffle on the span
     hash."""
     from ccspark.quality import c4_sentences_expr
+    # sentence array bound in a CTE below the explode (inlined regex
+    # split re-evaluates per element inside interpreted HOF lambdas -
+    # see dedup.shingles, r4)
     arr = c4_sentences_expr(d, "text")
+    ps = f"(SELECT doc_id, {arr} AS sents FROM pages)"
     if d == SPARK:
-        spans = (f"transform(sequence(1, greatest(size({arr}) - "
+        spans = (f"transform(sequence(1, greatest(size(sents) - "
                  f"{span - 1}, 1)), i -> concat_ws(' ', "
-                 f"slice({arr}, i, {span})))")
+                 f"slice(sents, i, {span})))")
         ex = (f"SELECT doc_id, span_idx + 1 AS span_idx, span_text "
-              f"FROM pages LATERAL VIEW posexplode({spans}) t "
+              f"FROM {ps} ps LATERAL VIEW posexplode({spans}) t "
               f"AS span_idx, span_text")
     else:
-        spans = (f"list_transform(generate_series(1, greatest(len({arr}) - "
+        spans = (f"list_transform(generate_series(1, greatest(len(sents) - "
                  f"{span - 1}, 1)), i -> array_to_string("
-                 f"{arr}[i:i+{span - 1}], ' '))")
+                 f"sents[i:i+{span - 1}], ' '))")
         ex = (f"SELECT doc_id, generate_subscripts({spans}, 1) AS span_idx,"
-              f" unnest({spans}) AS span_text FROM pages")
+              f" unnest({spans}) AS span_text FROM {ps} ps")
     return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p),
 spans AS ({ex}),
 hashed AS (
@@ -643,17 +651,19 @@ def q_word_ngrams(d: str, n: int = 2, top: int = 10) -> str:
     calls; here it is a first-class operator): top word-bigrams per lang
     over documents - explode positional n-grams, count, rank.  Single
     shuffle on (lang, gram); the rank window rides the same partitioning."""
+    # words bound below the explode (inlined split re-evaluates per
+    # element inside interpreted HOF lambdas - see dedup.shingles, r4)
     if d == SPARK:
-        w = "split(text, ' ')"
-        grams = (f"transform(sequence(1, greatest(size({w}) - {n - 1}, 1)),"
-                 f" i -> concat_ws(' ', slice({w}, i, {n})))")
-        ex = (f"SELECT lang, gram FROM documents "
+        dw = "(SELECT lang, split(text, ' ') AS w FROM documents)"
+        grams = (f"transform(sequence(1, greatest(size(w) - {n - 1}, 1)),"
+                 f" i -> concat_ws(' ', slice(w, i, {n})))")
+        ex = (f"SELECT lang, gram FROM {dw} dw "
               f"LATERAL VIEW explode({grams}) t AS gram")
     else:
-        w = "string_split(text, ' ')"
-        grams = (f"list_transform(generate_series(1, greatest(len({w}) - "
-                 f"{n - 1}, 1)), i -> array_to_string({w}[i:i+{n - 1}], ' '))")
-        ex = f"SELECT lang, unnest({grams}) AS gram FROM documents"
+        dw = "(SELECT lang, string_split(text, ' ') AS w FROM documents)"
+        grams = (f"list_transform(generate_series(1, greatest(len(w) - "
+                 f"{n - 1}, 1)), i -> array_to_string(w[i:i+{n - 1}], ' '))")
+        ex = f"SELECT lang, unnest({grams}) AS gram FROM {dw} dw"
     return f"""WITH grams AS ({ex}),
 valid AS (
   SELECT lang, gram FROM grams
@@ -916,21 +926,25 @@ def q_minhash_pairs(d: str) -> str:
     rows, candidates = shared band digest, estimated Jaccard = fraction of
     agreeing minhashes.  31-bit values keep a_i*h inside int64 in both
     engines (both raise on bigint overflow)."""
+    # words bound to a projection column BEFORE the transform lambda:
+    # HOFs are interpreted, so an inlined split re-evaluates per array
+    # element (measured 3.6x at sf1, r4 - see dedup.shingles)
     words = split_arr(d, "text", " ")
+    dw = f"(SELECT doc_id, {words} AS w FROM documents)"
     k = 3
     P = 2147483647
     AB = [(1103515245 + 2 * i, 12345 + 7 * i) for i in range(12)]
     if d == SPARK:
-        sh_arr = (f"transform(sequence(0, greatest(size({words}) - {k}, 0)), "
-                  f"i -> concat_ws(' ', slice({words}, i + 1, {k})))")
-        sh = (f"(SELECT doc_id, shingle FROM documents "
+        sh_arr = (f"transform(sequence(0, greatest(size(w) - {k}, 0)), "
+                  f"i -> concat_ws(' ', slice(w, i + 1, {k})))")
+        sh = (f"(SELECT doc_id, shingle FROM {dw} dw "
               f"LATERAL VIEW explode(array_distinct({sh_arr})) t AS shingle "
               f"WHERE length(shingle) > 0)")
     else:
         sh_arr = (f"list_distinct(list_transform("
-                  f"range(1, greatest(len({words}) - {k} + 1, 1) + 1), "
-                  f"i -> array_to_string({words}[i:i+{k - 1}], ' ')))")
-        sh = (f"(SELECT doc_id, unnest({sh_arr}) AS shingle FROM documents "
+                  f"range(1, greatest(len(w) - {k} + 1, 1) + 1), "
+                  f"i -> array_to_string(w[i:i+{k - 1}], ' ')))")
+        sh = (f"(SELECT doc_id, unnest({sh_arr}) AS shingle FROM {dw} dw "
               f"WHERE len({sh_arr}) > 0)")
     h32 = hex_to_bigint(d, "substr(md5(shingle), 1, 7)")
     mins = ", ".join(
@@ -1155,19 +1169,22 @@ def q_doc_fingerprint(d: str) -> str:
     """Winnowing-style document fingerprinting: 4-gram word shingles,
     min md5 per window of 4 consecutive shingles -> distinct fingerprint
     set per doc (rolling-hash fingerprint family)."""
+    # words bound below the explode (inlined split re-evaluates per
+    # element inside interpreted HOF lambdas - see dedup.shingles, r4)
     words = split_arr(d, "text", " ")
+    dw = f"(SELECT doc_id, {words} AS w FROM documents)"
     k, w = 4, 4
     if d == SPARK:
-        sh_arr = (f"transform(sequence(0, greatest(size({words}) - {k}, 0)), "
-                  f"i -> md5(concat_ws(' ', slice({words}, i + 1, {k}))))")
-        sh = (f"(SELECT doc_id, pos, sh FROM documents "
+        sh_arr = (f"transform(sequence(0, greatest(size(w) - {k}, 0)), "
+                  f"i -> md5(concat_ws(' ', slice(w, i + 1, {k}))))")
+        sh = (f"(SELECT doc_id, pos, sh FROM {dw} dw "
               f"LATERAL VIEW posexplode({sh_arr}) t AS pos, sh)")
     else:
         sh_arr = (f"list_transform("
-                  f"range(1, greatest(len({words}) - {k} + 1, 1) + 1), "
-                  f"i -> md5(array_to_string({words}[i:i+{k - 1}], ' ')))")
+                  f"range(1, greatest(len(w) - {k} + 1, 1) + 1), "
+                  f"i -> md5(array_to_string(w[i:i+{k - 1}], ' ')))")
         sh = (f"(SELECT doc_id, generate_subscripts({sh_arr}, 1) - 1 AS pos, "
-              f"unnest({sh_arr}) AS sh FROM documents)")
+              f"unnest({sh_arr}) AS sh FROM {dw} dw)")
     return f"""WITH shingles AS (SELECT * FROM {sh} s),
 windows AS (
   SELECT doc_id, cast(floor(pos / {w}.0) AS int) AS win, min(sh) AS fingerprint
