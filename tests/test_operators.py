@@ -391,3 +391,44 @@ def test_simhash_and_ngram_jaccard_modules(spark):
     assert jac[(0, 1)] == 1.0
     assert 0.5 <= jac[(0, 2)] < 1.0
     assert (0, 3) not in jac and (1, 3) not in jac
+
+
+def test_winnow_fingerprints_module(spark):
+    """dedup.winnow_fingerprints (production winnowing op): the md5
+    family must equal the oracled SQL rendering (q_doc_fingerprint) row
+    for row on the driver fixture, and the xxhash64 fast path must keep
+    the same structure (same (doc, window-count) profile, identical
+    fingerprints for identical docs)."""
+    from ccspark import dedup
+    from ccspark.queries import QUERY_BUILDERS
+    from ccspark.sqlgen import SPARK
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    sql_rows = {(r.doc_id, r.fingerprint): r.n_windows
+                for r in spark.sql(QUERY_BUILDERS["doc_fingerprint"](SPARK))
+                .collect()}
+    mod_rows = {(r.doc_id, r.fingerprint): r.n_windows
+                for r in dedup.winnow_fingerprints(docs).collect()}
+    assert mod_rows == sql_rows
+
+    fast = dedup.winnow_fingerprints(docs, hash_family="xxhash64")
+    prof_fast = {r.doc_id: r.n for r in
+                 fast.groupBy("doc_id")
+                 .agg(F.sum("n_windows").alias("n")).collect()}
+    prof_md5 = {}
+    for (d, _), n in sql_rows.items():
+        prof_md5[d] = prof_md5.get(d, 0) + n
+    assert prof_fast == prof_md5
+    # identical docs -> identical fingerprint sets (exact-dup detection)
+    from collections import defaultdict
+    by_doc = defaultdict(set)
+    for r in fast.collect():
+        by_doc[r.doc_id].add(r.fingerprint)
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text")
+             .collect()}
+    import itertools
+    dup_pair = next(((a, b) for a, b in itertools.combinations(texts, 2)
+                     if texts[a] == texts[b]), None)
+    if dup_pair:
+        assert by_doc[dup_pair[0]] == by_doc[dup_pair[1]]

@@ -152,3 +152,43 @@ def test_domain_gate_joins_broadcast_semi(spark):
     n_ex = lambda p: len([ln for ln in p.splitlines()
                           if re.search(r"\bExchange hashpartitioning", ln)])
     assert n_ex(plan) == n_ex(base) + 1, (n_ex(plan), n_ex(base))
+
+
+def test_hof_lambdas_reference_bound_columns(spark):
+    """Guard for the r4 HOF finding: higher-order functions run
+    interpreted, so an expression inlined in the lambda BODY re-evaluates
+    per array element (split-in-shingle-lambda was a measured 3.6x).  The
+    fix binds the array to a projection column below the Generate; this
+    asserts the optimizer did not collapse it back INTO the generator -
+    every Generate node's lambda must reference an attribute, never a
+    fresh split()/lower() call."""
+    from pyspark.sql import Row
+
+    from ccspark import dedup, lid, quality
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, lang="en",
+             text="alpha bravo charlie delta echo foxtrot golf hotel")])
+
+    def generate_lines(df):
+        return [ln for ln in plan_of(df).splitlines()
+                if "Generate" in ln and "lambdafunction" in ln]
+
+    for df in (dedup.shingles(docs),
+               quality.c4_span_dedup(docs),
+               quality.gopher_repetition(docs)):
+        lines = generate_lines(df)
+        assert lines, plan_of(df)
+        for ln in lines:
+            assert "split(" not in ln, ln
+
+    # lid.train consumes its plan internally; check the gram frame shape
+    # via the same construction it uses
+    from pyspark.sql import functions as F
+    t = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    padded = docs.select(F.col("lang"), t.alias("_t"))
+    idx = F.sequence(F.lit(0), F.greatest(F.length(F.col("_t")) - 3,
+                                          F.lit(0)))
+    grams = F.transform(idx, lambda i: F.substring(F.col("_t"), i + 1, 3))
+    g = padded.select("lang", F.explode(grams).alias("gram"))
+    for ln in generate_lines(g):
+        assert "lower(" not in ln, ln
