@@ -197,6 +197,16 @@ def main() -> None:
                lambda: dedup_mod.minhash_near_dups(
                    docs1, num_hashes=12, bands=4,
                    hash_family="xxhash64").count())
+        # decontamination production path at 10x (corpus-shuffle-free
+        # broadcast overlap; benchmark synthesized from the same docs)
+        from ccspark import decontam as decon_mod
+        bench_df = spark.sql(Q._decon_bench_sql(SPARK))
+        timed1("decontamination_module",
+               lambda: decon_mod.decontaminate(
+                   docs1.select("doc_id", "text"), bench_df).count())
+        timed1("winnow_fingerprints_xxh64",
+               lambda: dedup_mod.winnow_fingerprints(
+                   docs1, hash_family="xxhash64").count())
         pages1.unpersist()
         docs1.unpersist()
         out["queries_sf1"] = t1
