@@ -52,8 +52,17 @@ _WORDS_SENTINEL = "__ccspark_words__"
 
 
 def norm_words(d: str, e: str) -> str:
-    """Array of normalized words of text expr *e* (dialect *d*)."""
-    cleaned = rrep(d, f"lower({e})", r"[^\p{L}\p{N}]+", " ")
+    """Array of normalized words of text expr *e* (dialect *d*).
+
+    Combining marks (``\\p{M}``) are stripped after lowercasing: this
+    pins the one measured Java-vs-ICU ``lower()`` divergence (Turkish
+    'İ' lowers to ``i`` + U+0307 in the JVM but plain ``i`` in DuckDB -
+    cross-engine fuzz, r4) and keeps marks from SPLITTING a word (they
+    are not ``\\p{L}``).  Precomposed accents survive (``é`` stays
+    ``é``); NFC-vs-NFD unification is out of scope (no shared SQL
+    normalizer) and documented as a boundary."""
+    demarked = rrep(d, f"lower({e})", r"\p{M}", "")
+    cleaned = rrep(d, demarked, r"[^\p{L}\p{N}]+", " ")
     return arr_filter(d, split_arr(d, cleaned, " "), "x != ''")
 
 

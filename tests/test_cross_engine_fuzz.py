@@ -108,3 +108,31 @@ def test_fuzz_c4_gates(spark, duck):
         return (f"concat(cast({page} AS {'string' if d == SPARK else 'varchar'}), '|', "
                 f"cast({line} AS {'string' if d == SPARK else 'varchar'}))")
     run_both(spark, duck, gates, texts)
+
+
+TEXT_ATOMS = [
+    "Hello", "WORLD", "world", "ß", "Straße", "İstanbul", "ÄÖÜ", "äöü",
+    "中文", "漢字", "😀", "a\\b", "it's", "o'clock", "\t", "\n", "  ",
+    "naïve", "café", "ΣΟΦΙΑ", "σοφια", "МОСКВА", "москва", "ﬁ", "½",
+    "ｆｕｌｌwidth", ",", ".", "!", "?", ";", "--", "...", "(paren)",
+    "[brack]", "{brace}", "#tag", "@user", "100", "3.14", "a1b2",
+    "under_score", "hy-phen", "", " ", "'", '"',
+]
+
+
+def test_fuzz_decontam_norm_and_grams(spark, duck):
+    """The decontamination normalizer + gram template must agree byte
+    for byte across engines on adversarial unicode/punctuation text -
+    incl. the Turkish-İ Java-vs-ICU lower() divergence the \\p{M} strip
+    pins (found by this fuzz)."""
+    from ccspark import decontam
+
+    def norm_join(d, col):
+        w = decontam.norm_words(d, col)
+        g = decontam.gram_array(d, w, 3)   # 3-grams: short texts hit too
+        join = "array_join" if d == SPARK else "array_to_string"
+        return (f"concat({join}({w}, chr(7)), chr(7), chr(7), "
+                f"{join}({g}, chr(7)))")
+
+    run_both(spark, duck, norm_join,
+             synth(TEXT_ATOMS, 250, seed=303, max_parts=12))
