@@ -68,7 +68,6 @@ def main() -> None:
         "simhash",
         "knn_cosine",
         "sign_lsh_suite",
-        "token_stats",
         "doc_fingerprint",
         "pii_scrub",
         "media_meta",

@@ -1491,7 +1491,8 @@ QUERY_BUILDERS: dict[str, Callable[[str], str]] = {
     # ann_sign_lsh + embedding_near_dups share one tag-union slot (the
     # freed slot went to near_dup_removal, r3 verdict item 6)
     "sign_lsh_suite": q_sign_lsh_suite,
-    "token_stats": q_token_stats,
+    # token_stats now rides the token_suite module slot (tag-union with
+    # the budget sampler, r4)
     "doc_fingerprint": q_doc_fingerprint,
     "union_segments": q_union_segments,
     "metrics_rollup": q_metrics_rollup,
@@ -1741,6 +1742,77 @@ def _mq_decontamination(spark, sf_dir):
     bench = spark.sql(_decon_bench_sql(SPARK))
     out = DC.decontaminate(docs.select("doc_id", "text"), bench, n=DECON_N)
     return out.select("doc_id", "contaminated", F.col("n_hits"))
+
+
+# ==========================================================================
+# Token accounting suite: token_stats + the deterministic token-budget
+# sampler (ccspark.sampling, the training-data mixing operator) tag-unioned
+# into one graded slot.  Generic columns (a, b, c) carry every original
+# value: 'stats' = (ws_tokens, subword_pieces, n_chars); 'budget' =
+# (weight, cum, kept as 0/1).
+
+TOKEN_BUDGET = 1000  # per-lang token quota; fixture per-lang totals are
+#                      ~4-5k, so the budget provably both keeps and prunes
+
+
+def q_token_suite(d: str) -> str:
+    """token_stats + sample_by_token_budget as ONE dual-dialect
+    statement.  The sampler branch pins the full greedy-prefix contract
+    cross-engine: md5(lang:doc_id) hash order, inclusive running token
+    sum, kept iff the budget was not exhausted BEFORE the doc (the
+    boundary-crossing doc is included, every group keeps >= 1 doc).  The
+    graded Spark side runs the PRODUCTION module
+    (ccspark.sampling.sample_by_token_budget) for this branch; this
+    template's Spark rendering is the pytest parity anchor."""
+    stats = q_token_stats(d)
+    wc = ("size(filter(split(text, ' '), x -> x != ''))" if d == SPARK
+          else "len(list_filter(string_split(text, ' '), x -> x != ''))")
+    budget = f"""WITH weighted AS (
+  SELECT doc_id, lang, cast({wc} AS bigint) AS weight,
+         md5(concat_ws(':', lang, doc_id)) AS ord
+  FROM documents
+),
+cums AS (
+  SELECT doc_id, lang, weight,
+         sum(weight) OVER (PARTITION BY lang ORDER BY ord, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND
+                           CURRENT ROW) AS cum
+  FROM weighted
+)
+SELECT doc_id, lang, weight, cast(cum AS bigint) AS cum,
+       (CASE WHEN cum - weight < {TOKEN_BUDGET} THEN 1 ELSE 0 END) AS kept
+FROM cums"""
+    return f"""SELECT 'stats' AS op, doc_id, lang,
+       cast(ws_tokens AS bigint) AS a,
+       cast(subword_pieces AS bigint) AS b,
+       cast(n_chars AS bigint) AS c
+FROM ({stats}) st
+UNION ALL
+SELECT 'budget' AS op, doc_id, lang,
+       weight AS a, cum AS b, cast(kept AS bigint) AS c
+FROM ({budget}) bu"""
+
+
+def _mq_token_suite(spark, sf_dir):
+    """Graded Spark side: the 'stats' branch via the shared SQL template,
+    the 'budget' branch via the PRODUCTION sampling module - so the
+    driver hash-verifies ccspark.sampling end-to-end against the DuckDB
+    recomputation."""
+    from pyspark.sql import functions as F
+
+    from ccspark import sampling
+    ensure_views(spark, sf_dir)   # token_stats reads pages_src
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = (spark.sql(q_token_stats(SPARK))
+             .select(F.lit("stats").alias("op"), "doc_id", "lang",
+                     F.col("ws_tokens").cast("bigint").alias("a"),
+                     F.col("subword_pieces").cast("bigint").alias("b"),
+                     F.col("n_chars").cast("bigint").alias("c")))
+    samp = sampling.sample_by_token_budget(docs, TOKEN_BUDGET)
+    b = samp.select(F.lit("budget").alias("op"), "doc_id", "lang",
+                    F.col("weight").alias("a"), F.col("cum").alias("b"),
+                    F.col("kept").cast("bigint").alias("c"))
+    return stats.unionByName(b)
 
 
 def _mq_ivf_recall(spark, sf_dir):
@@ -2088,6 +2160,9 @@ MODULE_QUERIES = {
     # the decontamination operator, fully value-graded
     "greedy_domain_suite": _mq_greedy_domain_suite,
     "decontamination": _mq_decontamination,
+    # token_stats + the production token-budget sampler (r4 tag-union;
+    # the freed builder slot keeps the surface at exactly 50 oracled)
+    "token_suite": _mq_token_suite,
     "salted_domain_counts": _mq_salted_domain_counts,
     "incremental_dedup": _mq_incremental_dedup,
     "domain_quality": _mq_domain_quality,
@@ -2110,6 +2185,7 @@ MODULE_ORACLES = {
     "ann_recall": _ANN_RECALL_ORACLE,
     "greedy_domain_suite": _greedy_suite_oracle(),
     "decontamination": q_decontamination(DUCK),
+    "token_suite": q_token_suite(DUCK),
     "salted_domain_counts": _salted_counts_oracle(),
     "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
     "domain_quality": _domain_quality_oracle(),

@@ -1,0 +1,77 @@
+"""Deterministic token-budget sampling (ccspark.sampling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from ccspark import sampling
+
+
+def _docs(spark):
+    rows = []
+    i = 0
+    for lang, n in (("en", 12), ("de", 8), ("zh", 1)):
+        for _ in range(n):
+            rows.append(Row(doc_id=i, lang=lang,
+                            text=" ".join(f"w{j}" for j in range(25))))
+            i += 1
+    return spark.createDataFrame(rows)
+
+
+def test_budget_prefix_semantics(spark):
+    docs = _docs(spark)
+    out = sampling.sample_by_token_budget(docs, budget=100).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        kept = [r for r in rs if r.kept]
+        # every non-empty group keeps at least one doc
+        assert kept, lang
+        # greedy prefix: kept docs are exactly those whose cum-before
+        # is under budget; overshoot bounded by one document
+        for r in rs:
+            assert r.kept == (r.cum - r.weight < 100)
+        assert max(r.cum for r in kept) < 100 + 25 + 1
+    # 25-token docs, budget 100 -> exactly 4 kept where group size allows
+    assert len([r for r in by_lang["en"] if r.kept]) == 4
+    assert len([r for r in by_lang["zh"] if r.kept]) == 1
+
+
+def test_budget_sampling_deterministic(spark):
+    docs = _docs(spark)
+    a = {(r.doc_id, r.kept, r.cum) for r in
+         sampling.sample_by_token_budget(docs, 100).collect()}
+    b = {(r.doc_id, r.kept, r.cum) for r in
+         sampling.sample_by_token_budget(docs.repartition(13), 100)
+         .collect()}
+    assert a == b
+
+
+def test_budget_weight_override(spark):
+    docs = _docs(spark).withColumn("w2", F.lit(60).cast("long"))
+    out = sampling.sample_by_token_budget(docs, 100, weight_col="w2")
+    for lang, n in (("en", 2), ("de", 2), ("zh", 1)):
+        # 60-token weights: cum-before of doc 2 is 60 < 100, doc 3 is
+        # 120 >= 100 -> exactly two kept per group (capped by group size)
+        assert out.where((F.col("lang") == lang) & F.col("kept")) \
+                  .count() == n
+
+
+def test_module_matches_sql_template(spark):
+    """Production module == the Spark rendering of the oracled template
+    (budget branch) on the driver fixture."""
+    from ccspark.queries import TOKEN_BUDGET, q_token_suite, ensure_views
+    from ccspark.sqlgen import SPARK
+    ensure_views(spark, "/root/testdata/sf0.01")
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sql_rows = {r.doc_id: (r.a, r.b, r.c) for r in
+                spark.sql(q_token_suite(SPARK)).where("op = 'budget'")
+                .collect()}
+    mod = sampling.sample_by_token_budget(docs, TOKEN_BUDGET)
+    mod_rows = {r.doc_id: (r.weight, r.cum, int(r.kept))
+                for r in mod.collect()}
+    assert mod_rows == sql_rows
+    # the budget really bites on the fixture: both kept and pruned exist
+    flags = {v[2] for v in mod_rows.values()}
+    assert flags == {0, 1}
