@@ -17,11 +17,24 @@ kept iff the cumulative token count BEFORE it is still below the budget
 non-empty group keeps at least one document (budget overshoot is at most
 one document, the standard greedy-prefix contract).
 
-Scale shape: one hash projection + one window over the group partition
-(a single shuffle on the group key, the same partitioning the downstream
-per-group writes reuse).  Skewed groups (one language dominating a
-crawl) can salt the window via a two-phase variant, but the group count
-here is small (languages), so the plain window is the right default.
+Scale shape - the part that must survive 100 TB: a naive
+``sum() OVER (PARTITION BY lang ORDER BY hash)`` funnels EVERY document
+of a language through one task's sort (English is half the crawl).  The
+implementation instead computes the SAME global hash order in three
+bounded stages (the classic distributed prefix-sum):
+
+  1. bucket = first byte of the md5 order key (so bucket order is
+     consistent with full-key order by construction); per-(group,
+     bucket) running sums via a window partitioned by (group, bucket) -
+     256x the parallelism of the naive window;
+  2. per-(group, bucket) totals -> a tiny (groups x 256) offsets table,
+     prefix-summed and BROADCAST;
+  3. cum = bucket offset + within-bucket running sum.
+
+Values are bit-identical to the naive window (the DuckDB oracle twin in
+queries.q_token_suite recomputes exactly that, and the driver
+hash-compares), so the scalable plan is value-verified, not just
+plausible.
 """
 
 from __future__ import annotations
@@ -44,11 +57,58 @@ def sample_by_token_budget(docs: DataFrame, budget: int,
                            id_col: str = "doc_id",
                            weight_col: str | None = None) -> DataFrame:
     """All *docs* columns + ``weight``, ``cum`` (cumulative tokens in
-    hash order, inclusive) and ``kept`` (greedy prefix within *budget*).
+    global hash order, inclusive) and ``kept`` (greedy prefix within
+    *budget*).
 
     Filter ``kept`` for the sample; the flags are returned (rather than
     pre-filtered) so lineage metrics and the driver oracle can see the
-    rejected rows too."""
+    rejected rows too.
+
+    Distributed prefix-sum (see module docstring): the bucket is the
+    first md5 byte, so (bucket, ord, id) sorts identically to (ord, id)
+    and the three-stage cum equals the naive per-group window's value
+    bit for bit - asserted against the window form in
+    tests/test_sampling.py and against DuckDB by the driver."""
+    if weight_col is None:
+        docs = with_token_weights(docs, text_col)
+        weight_col = "weight"
+    ordkey = F.md5(F.concat_ws(":", F.col(group_col), F.col(id_col)))
+    d = (docs.withColumn("_ord", ordkey)
+         .withColumn("_bkt", F.conv(F.substring("_ord", 1, 2), 16, 10)
+                     .cast("int")))
+    # stage 1: within-(group, bucket) running sums - 256x the
+    # parallelism of a per-group window
+    wb = (Window.partitionBy(group_col, "_bkt")
+          .orderBy(F.col("_ord"), F.col(id_col))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = d.withColumn("_within", F.sum(weight_col).over(wb).cast("long"))
+    # stage 2: tiny (groups x 256) offsets table, prefix-summed,
+    # broadcast back
+    wo = (Window.partitionBy(group_col).orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (d.groupBy(group_col, "_bkt")
+               .agg(F.sum(weight_col).alias("_tot"))
+               .withColumn("_off", F.coalesce(F.sum("_tot").over(wo),
+                                              F.lit(0)).cast("long"))
+               .select(group_col, "_bkt", "_off"))
+    out = (d.join(F.broadcast(offsets), [group_col, "_bkt"])
+           .withColumn("cum", (F.col("_off") + F.col("_within"))
+                       .cast("long"))
+           .select(*docs.columns, "cum"))
+    return out.withColumn(
+        "kept", (F.col("cum") - F.col(weight_col)) < F.lit(budget))
+
+
+def sample_by_token_budget_window(docs: DataFrame, budget: int,
+                                  group_col: str = "lang",
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  weight_col: str | None = None
+                                  ) -> DataFrame:
+    """The naive single-window form - the parity anchor the scalable
+    three-stage implementation must equal bit for bit.  Do NOT use on a
+    real crawl: the per-group window funnels a whole language through
+    one task."""
     if weight_col is None:
         docs = with_token_weights(docs, text_col)
         weight_col = "weight"

@@ -58,6 +58,38 @@ def test_budget_weight_override(spark):
                   .count() == n
 
 
+def test_three_stage_equals_naive_window(spark):
+    """The scalable bucketed prefix-sum must equal the naive per-group
+    window BIT FOR BIT - same cum, same kept - on a corpus large enough
+    that every md5 bucket boundary is exercised."""
+    rows = [Row(doc_id=i, lang=("en", "de", "zh")[i % 3],
+                text=" ".join(f"w{j}" for j in range(5 + i % 37)))
+            for i in range(2000)]
+    docs = spark.createDataFrame(rows)
+    a = {r.doc_id: (r.cum, r.kept) for r in
+         sampling.sample_by_token_budget(docs, 3000).collect()}
+    b = {r.doc_id: (r.cum, r.kept) for r in
+         sampling.sample_by_token_budget_window(docs, 3000).collect()}
+    assert a == b
+
+
+def test_three_stage_plan_shape(spark):
+    """The window partitions on (group, bucket) - never on the group
+    alone - and the offsets rejoin is broadcast."""
+    docs = _docs(spark)
+    plan = sampling.sample_by_token_budget(
+        docs, 100)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    import re
+    windows = [ln for ln in plan.splitlines() if "Window" in ln
+               and "windowspecdefinition" in ln]
+    # the big-data window (the one ordered by the md5 key) must be
+    # partitioned by (group, bucket), never the group alone
+    big = [ln for ln in windows if "_ord" in ln]
+    assert big and all("_bkt" in ln.split("windowspecdefinition")[1]
+                       .split("ASC")[0] for ln in big), plan
+
+
 def test_module_matches_sql_template(spark):
     """Production module == the Spark rendering of the oracled template
     (budget branch) on the driver fixture."""
