@@ -352,6 +352,22 @@ class CCSparkCorpus:
             decontam.decontaminate
         return fn(docs, benchmark, n=n, id_col=id_col, text_col=text_col)
 
+    def sample_by_budget(self, docs: DataFrame, budget: int,
+                         group_col: str = "lang",
+                         text_col: str = "text",
+                         flags_only: bool = False) -> DataFrame:
+        """Token-budget sampling (ccspark.sampling): deterministic
+        hash-ordered greedy prefix per *group_col* up to *budget* tokens
+        (data mixing).  Returns the sampled rows, or every row with
+        (weight, cum, kept) when ``flags_only``.  Driver-graded inside
+        query ``token_suite``."""
+        from ccspark import sampling
+        out = sampling.sample_by_token_budget(docs, budget,
+                                              group_col=group_col,
+                                              text_col=text_col)
+        return out if flags_only else \
+            out.where("kept").drop("cum", "kept")
+
     # ---- scrub + filter mining ----
 
     def scrub(self, df: DataFrame, text_col: str = "text") -> DataFrame:
