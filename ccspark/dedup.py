@@ -111,6 +111,63 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 3,
             .where(F.length("shingle") > 0))
 
 
+def _word_hash_kgrams(docs: DataFrame, text_col: str, k: int,
+                      id_col: str):
+    """Shared core of the xxhash64 near-dup family: the positional array
+    of word-k-gram hashes per document WITHOUT materializing any k-gram
+    string.  Each word is xxhash64'd ONCE (one interpreted-lambda pass
+    over the words array), then k consecutive word hashes are folded
+    with pairwise ``xxhash64(x, y)`` mixing over aligned ``zip_with``
+    slices - full 64-bit, order-sensitive, and ~2.6x faster at sf1 than
+    hashing ``concat_ws`` shingle strings (BENCH r4: the string
+    materialization, not the hash, dominated the signature stage).
+    Gram counts match the string family exactly: ``greatest(n_words-k+1,
+    1)`` positions, short docs collapsing to one composite of their
+    available words (``xxhash64`` skips the null padding a short slice
+    produces, mirroring how ``concat_ws`` joins a short slice).  HOF
+    rule respected: the split and word-hash arrays are bound to
+    projection columns before any lambda references them.
+
+    Returns ``(frame, gram_array_expr)`` - the per-word-hash frame and
+    the k-gram hash array EXPRESSION over it.  Callers MUST place the
+    expression directly in the generator position of their explode:
+    projecting it to a column first lets ``InferFiltersFromGenerate``
+    add a ``size(col) > 0`` filter on the bare attribute, which
+    predicate pushdown then re-inlines through the projection - the
+    whole gram chain evaluated TWICE (measured 2.7x at sf1, the same
+    Spark-4 re-inlining family as the kernel eval barrier).  With the
+    expression inline the rule skips non-attribute generators and no
+    duplicate evaluation exists (plan-asserted in tests)."""
+    words = docs.select(F.col(id_col).alias(id_col),
+                        F.split(F.col(text_col), " ").alias("_t"))
+    wh = words.select(id_col,
+                      F.transform(F.col("_t"),
+                                  lambda w: F.xxhash64(w)).alias("_wh"))
+    c = F.col("_wh")
+    n = F.greatest(F.size(c) - (k - 1), F.lit(1))
+    acc = F.slice(c, 1, n)
+    for i in range(1, k):
+        acc = F.zip_with(acc, F.slice(c, i + 1, n),
+                         lambda x, y: F.xxhash64(x, y))
+    return wh, acc
+
+
+def shingle_hashes(docs: DataFrame, text_col: str = "text", k: int = 3,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Distinct word-k-gram HASH set per document - the production
+    (xxhash64-family) drop-in for ``shingles`` wherever only the hash of
+    the shingle is consumed (MinHash signatures never look at the gram
+    text).  Output: (id_col, _h64 long).  Doc-level parity with the
+    string family: ``shingles`` drops only the zero-length shingle,
+    which arises exactly from an empty ``text`` - mirrored here by the
+    length filter (whitespace-only docs keep their degenerate gram in
+    BOTH families)."""
+    src = docs.where(F.length(F.col(text_col)) > 0)
+    wh, grams = _word_hash_kgrams(src, text_col, k, id_col)
+    return wh.select(
+        id_col, F.explode(F.array_distinct(grams)).alias("_h64"))
+
+
 def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
                         k: int = 4, w: int = 4,
                         id_col: str = "doc_id",
@@ -123,9 +180,24 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     The md5 family is the cross-engine form (graded oracle
     ``doc_fingerprint``; module == SQL rendering asserted in pytest);
     ``hash_family='xxhash64'`` is the production fast path (8-byte
-    fingerprints, no hex strings).  One explode + two map-side-combining
-    aggregations on (doc, win) then (doc, fingerprint) - no join, no
-    window function, scale-safe."""
+    fingerprints, and the k-gram is hashed compositionally from per-word
+    hashes - no gram STRING is ever built; see ``_word_hash_kgrams``,
+    ~2x at sf1).  One explode + two map-side-combining aggregations on
+    (doc, win) then (doc, fingerprint) - no join, no window function,
+    scale-safe."""
+    if hash_family == "xxhash64":
+        wh, grams = _word_hash_kgrams(
+            docs.select(F.col(id_col).alias("doc_id"), text_col),
+            text_col, k, "doc_id")
+        ex = wh.select("doc_id",
+                       F.posexplode(grams).alias("pos", "_h"))
+        hashed = ex.select(
+            "doc_id", F.floor(F.col("pos") / w).cast("int").alias("win"),
+            "_h")
+        wins = (hashed.groupBy("doc_id", "win")
+                .agg(F.min("_h").alias("fingerprint")))
+        return (wins.groupBy("doc_id", "fingerprint")
+                .agg(F.count("*").cast("bigint").alias("n_windows")))
     words = docs.select(F.col(id_col).alias("doc_id"),
                         F.split(F.col(text_col), " ").alias("_w"))
     wcol = F.col("_w")
@@ -135,8 +207,7 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
                       F.posexplode(sh).alias("pos", "shingle"))
     hashed = ex.select(
         "doc_id", F.floor(F.col("pos") / w).cast("int").alias("win"),
-        (F.xxhash64("shingle") if hash_family == "xxhash64"
-         else F.md5("shingle")).alias("_h"))
+        F.md5("shingle").alias("_h"))
     wins = (hashed.groupBy("doc_id", "win")
             .agg(F.min("_h").alias("fingerprint")))
     return (wins.groupBy("doc_id", "fingerprint")
@@ -158,9 +229,16 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16,
     string materialization/parse per shingle).  Either family is a
     uniform hash, so near-dup quality is identical; only the concrete
     signature values differ (pair-level equivalence on duplicate-heavy
-    fixtures is pytest-asserted, and bench.py times both)."""
+    fixtures is pytest-asserted, and bench.py times both).
+
+    Accepts either ``shingles`` output (a ``shingle`` string column) or
+    the ``shingle_hashes`` fast-path output (``_h64`` long - already
+    hashed; preferred with the xxhash64 family, where gram strings never
+    need to exist)."""
     P = 2147483647
-    if hash_family == "xxhash64":
+    if "_h64" in sh.columns:
+        h = F.pmod(F.col("_h64"), F.lit(P)).cast("long")
+    elif hash_family == "xxhash64":
         h = F.pmod(F.xxhash64("shingle"), F.lit(P)).cast("long")
     else:
         h = (F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10)
@@ -215,8 +293,11 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text", k: int = 3,
     """End-to-end MinHash-LSH near-dup candidate pairs with estimated
     Jaccard (fraction of agreeing minhash columns).  Pass
     ``hash_family='xxhash64'`` for the production fast path (same
-    candidate quality, no cross-engine md5 verifiability)."""
-    sh = shingles(docs, text_col, k, id_col)
+    candidate quality, no cross-engine md5 verifiability; gram strings
+    are never materialized - ``shingle_hashes``)."""
+    sh = (shingle_hashes(docs, text_col, k, id_col)
+          if hash_family == "xxhash64"
+          else shingles(docs, text_col, k, id_col))
     sig = minhash_signatures(sh, num_hashes, id_col, hash_family)
     pairs = lsh_candidate_pairs(sig, bands, id_col, hash_family)
     mcols = [c for c in sig.columns if c.startswith("m")]

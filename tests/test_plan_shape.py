@@ -192,3 +192,34 @@ def test_hof_lambdas_reference_bound_columns(spark):
     g = padded.select("lang", F.explode(grams).alias("gram"))
     for ln in generate_lines(g):
         assert "lower(" not in ln, ln
+
+
+def test_word_hash_kgrams_single_evaluation(spark):
+    """Guard for the r4 InferFiltersFromGenerate finding: projecting the
+    composite gram-hash array to a column before exploding it lets the
+    optimizer infer a size(col) > 0 filter on the bare attribute, and
+    predicate pushdown then re-inlines the WHOLE chain through the
+    projection - every word hashed and zip_with-folded twice (measured
+    2.7x at sf1).  The xxhash64 near-dup family therefore places the
+    gram expression directly in the generator position; this asserts the
+    zip_with fold appears exactly ONCE in each executed plan."""
+    import re
+
+    from pyspark.sql import Row
+
+    from ccspark import dedup
+    docs = spark.createDataFrame(
+        [Row(doc_id=0,
+             text="alpha bravo charlie delta echo foxtrot golf hotel")])
+    def folds(df):
+        # innermost fold step: zip_with applied to two slice() args
+        return len(re.findall(r"zip_with\(slice\(", plan_of(df)))
+
+    # single-branch plans: the fold must appear EXACTLY once
+    assert folds(dedup.shingle_hashes(docs)) == 1
+    assert folds(dedup.winnow_fingerprints(docs,
+                                           hash_family="xxhash64")) == 1
+    # the pair query legitimately re-derives the signature subtree once
+    # per join side (4 sides; uncached by design) - but never more
+    assert folds(dedup.minhash_near_dups(docs,
+                                         hash_family="xxhash64")) <= 4
