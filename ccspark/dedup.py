@@ -294,26 +294,50 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text", k: int = 3,
     Jaccard (fraction of agreeing minhash columns).  Pass
     ``hash_family='xxhash64'`` for the production fast path (same
     candidate quality, no cross-engine md5 verifiability; gram strings
-    are never materialized - ``shingle_hashes``)."""
+    are never materialized - ``shingle_hashes``).
+
+    The signature COLUMNS ride through the banding explode, so the
+    band-bucket self-join's two sides already carry both documents'
+    signatures and the Jaccard estimate is computed inline - the plan
+    derives the signature aggregate twice (the two join sides), not
+    four times as the earlier rejoin-against-``sa``/``sb`` form did.
+    At corpus scale that removes two full signature passes and two wide
+    joins for the price of ``num_hashes`` extra longs per banding-
+    shuffle row; measured faster at sf1 too.  Results are identical
+    (same pairs, same estimates - asserted in tests when this form
+    replaced the rejoin form)."""
     sh = (shingle_hashes(docs, text_col, k, id_col)
           if hash_family == "xxhash64"
           else shingles(docs, text_col, k, id_col))
     sig = minhash_signatures(sh, num_hashes, id_col, hash_family)
-    pairs = lsh_candidate_pairs(sig, bands, id_col, hash_family)
     mcols = [c for c in sig.columns if c.startswith("m")]
-    sa = sig.select(F.col(id_col).alias("doc_a"),
-                    *[F.col(c).alias(f"a_{c}") for c in mcols])
-    sb = sig.select(F.col(id_col).alias("doc_b"),
-                    *[F.col(c).alias(f"b_{c}") for c in mcols])
+    rows_per_band = max(1, len(mcols) // bands)
+    digs = []
+    for bi in range(bands):
+        cols = mcols[bi * rows_per_band:(bi + 1) * rows_per_band]
+        if cols:
+            if hash_family == "xxhash64":
+                digs.append(F.xxhash64(*[F.col(c) for c in cols]))
+            else:
+                digs.append(F.md5(F.concat_ws(",", *cols)))
+    dg = sig.select(id_col, *mcols,
+                    F.explode(F.array(*digs)).alias("digest"))
+    a, b = dg.alias("a"), dg.alias("b")
     agree = None
     for c in mcols:
-        t = (F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int")
+        t = (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int")
         agree = t if agree is None else agree + t
-    return (
-        pairs.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b",
+    pairs = (
+        a.join(b, "digest")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
                 (agree / F.lit(len(mcols))).alias("jaccard_est"))
     )
+    # a pair sharing several band buckets appears once per bucket with
+    # the SAME estimate - max() is just the deterministic collapse
+    return (pairs.groupBy("doc_a", "doc_b")
+            .agg(F.max("jaccard_est").alias("jaccard_est")))
 
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16,
