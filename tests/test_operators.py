@@ -432,3 +432,60 @@ def test_winnow_fingerprints_module(spark):
                      if texts[a] == texts[b]), None)
     if dup_pair:
         assert by_doc[dup_pair[0]] == by_doc[dup_pair[1]]
+
+
+def test_jaccard_on_candidates_exact(spark):
+    """dedup.jaccard_on_candidates (the LSH->verify stage): for pairs the
+    quadratic ngram_jaccard_pairs also emits, the values must be
+    IDENTICAL (same gram sets, same arithmetic); a pair with empty
+    intersection must come back 0.0 rather than dropped; and both hash
+    families must agree (gram identity is family-independent)."""
+    from ccspark import dedup
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the deep green forest before nightfall today")
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base.replace("today", "tomorrow")),
+        Row(doc_id=2, text=" ".join(f"token{i}" for i in range(40))),
+        Row(doc_id=3, text=base),
+    ])
+    brute = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    cand = spark.createDataFrame(
+        [Row(doc_a=0, doc_b=1), Row(doc_a=0, doc_b=3),
+         Row(doc_a=1, doc_b=2)])  # (1,2) shares nothing
+    for fam in ("md5", "xxhash64"):
+        got = {(r.doc_a, r.doc_b): r.jaccard
+               for r in dedup.jaccard_on_candidates(
+                   docs, cand, hash_family=fam).collect()}
+        assert got[(0, 3)] == 1.0, fam
+        assert got[(0, 1)] == brute[(0, 1)], fam
+        assert got[(1, 2)] == 0.0, fam
+
+
+def test_dedup_near_verify_exact(spark):
+    """verify_exact=True thresholds on the TRUE Jaccard: a pair whose
+    minhash estimate overshoots its real similarity is kept by the
+    estimate path but correctly retained once verified.  With 12 hashes
+    the estimate resolution is 1/12, so a doc pair at true Jaccard ~0.55
+    can estimate well above 0.75; exact verification at threshold 0.75
+    must NOT merge them, while both paths agree exact dups merge."""
+    from ccspark import dedup
+    words = [f"w{i}" for i in range(40)]
+    half = words[:26] + [f"x{i}" for i in range(14)]
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text=" ".join(words)),
+        Row(doc_id=1, text=" ".join(words)),          # exact dup of 0
+        Row(doc_id=2, text=" ".join(half)),           # ~0.5 vs 0
+        Row(doc_id=3, text=" ".join(f"z{i}" for i in range(40))),
+    ])
+    kept = {r.doc_id for r in
+            dedup.dedup_near(docs, threshold=0.95, verify_exact=True,
+                             hash_family="xxhash64").collect()}
+    assert kept == {0, 2, 3}
+    # the verified edge set is a subset of the estimate edge set
+    est = dedup.near_dup_clusters(docs, 0.4, hash_family="xxhash64")
+    ver = dedup.near_dup_clusters(docs, 0.4, hash_family="xxhash64",
+                                  verify_exact=True)
+    assert {r.doc_id for r in ver.collect()} <= \
+        {r.doc_id for r in est.collect()}
