@@ -918,6 +918,29 @@ FROM scored"""
 
 # ----- near-dup + similarity over documents/embeddings --------------------
 
+def _minhash_shingles(d: str, k: int = 3) -> str:
+    """Distinct word-k-gram shingle subquery (doc_id, shingle) - the
+    shared gram rendering of the minhash template AND the near-dup
+    oracle's exact-Jaccard branch (one definition so the two can't
+    drift; mirrors dedup.shingles exactly, length-0 filter included).
+    Words are bound to a projection column BEFORE the transform lambda:
+    HOFs are interpreted, so an inlined split re-evaluates per array
+    element (measured 3.6x at sf1, r4 - see dedup.shingles)."""
+    words = split_arr(d, "text", " ")
+    dw = f"(SELECT doc_id, {words} AS w FROM documents)"
+    if d == SPARK:
+        sh_arr = (f"transform(sequence(0, greatest(size(w) - {k}, 0)), "
+                  f"i -> concat_ws(' ', slice(w, i + 1, {k})))")
+        return (f"(SELECT doc_id, shingle FROM {dw} dw "
+                f"LATERAL VIEW explode(array_distinct({sh_arr})) t AS shingle "
+                f"WHERE length(shingle) > 0)")
+    sh_arr = (f"list_distinct(list_transform("
+              f"range(1, greatest(len(w) - {k} + 1, 1) + 1), "
+              f"i -> array_to_string(w[i:i+{k - 1}], ' ')))")
+    return (f"(SELECT doc_id, unnest({sh_arr}) AS shingle FROM {dw} dw "
+            f"WHERE len({sh_arr}) > 0)")
+
+
 def q_minhash_pairs(d: str) -> str:
     """MinHash-LSH near-dup candidates: 3-word shingles, ONE md5 per
     shingle reduced to a 31-bit int, 12 affine min-hashes
@@ -926,26 +949,9 @@ def q_minhash_pairs(d: str) -> str:
     rows, candidates = shared band digest, estimated Jaccard = fraction of
     agreeing minhashes.  31-bit values keep a_i*h inside int64 in both
     engines (both raise on bigint overflow)."""
-    # words bound to a projection column BEFORE the transform lambda:
-    # HOFs are interpreted, so an inlined split re-evaluates per array
-    # element (measured 3.6x at sf1, r4 - see dedup.shingles)
-    words = split_arr(d, "text", " ")
-    dw = f"(SELECT doc_id, {words} AS w FROM documents)"
-    k = 3
     P = 2147483647
     AB = [(1103515245 + 2 * i, 12345 + 7 * i) for i in range(12)]
-    if d == SPARK:
-        sh_arr = (f"transform(sequence(0, greatest(size(w) - {k}, 0)), "
-                  f"i -> concat_ws(' ', slice(w, i + 1, {k})))")
-        sh = (f"(SELECT doc_id, shingle FROM {dw} dw "
-              f"LATERAL VIEW explode(array_distinct({sh_arr})) t AS shingle "
-              f"WHERE length(shingle) > 0)")
-    else:
-        sh_arr = (f"list_distinct(list_transform("
-                  f"range(1, greatest(len(w) - {k} + 1, 1) + 1), "
-                  f"i -> array_to_string(w[i:i+{k - 1}], ' ')))")
-        sh = (f"(SELECT doc_id, unnest({sh_arr}) AS shingle FROM {dw} dw "
-              f"WHERE len({sh_arr}) > 0)")
+    sh = _minhash_shingles(d)
     h32 = hex_to_bigint(d, "substr(md5(shingle), 1, 7)")
     mins = ", ".join(
         f"min(({a} * h + {b}) % {P}) AS m{i}"
@@ -2102,37 +2108,87 @@ NEAR_DUP_TH = 0.95
 
 def _mq_near_dup_removal(spark, sf_dir):
     """END-TO-END near-duplicate removal (r3 verdict item 6: pairs alone
-    don't dedup anything): dedup.near_dup_clusters runs the REAL module
-    pipeline - MinHash signatures, LSH banding, candidate pairs,
-    threshold gate, then iterative min-label connected components - and
-    emits (doc_id, cluster_id, survivor) for every clustered document.
-    The DuckDB twin recomputes the clusters independently: the same
-    pairs SQL (minhash_pairs' own template) + a RECURSIVE transitive
-    closure, so the hash verifies cluster assignment AND canonical
-    choice value-for-value."""
+    don't dedup anything), TAG-UNION of the two production variants so
+    both are value-graded in one slot (r4):
+
+      est - dedup.near_dup_clusters thresholding the minhash ESTIMATE:
+            signatures, LSH banding, candidate pairs, threshold gate,
+            iterative min-label connected components.
+      ver - the same with verify_exact=True: the EXACT k-gram Jaccard
+            of every LSH candidate pair (dedup.jaccard_on_candidates)
+            is computed and thresholded instead of the estimate.  On
+            this fixture the two genuinely differ: the 12-hash estimate
+            has false negatives (true-0.96 pairs estimating 0.83-0.92),
+            so the verified branch clusters pairs the estimate misses.
+
+    The DuckDB twin recomputes both independently: the pairs SQL
+    (minhash_pairs' own template), an exact-Jaccard CTE over the SAME
+    shingle rendering (_minhash_shingles - shared so they can't drift),
+    and a RECURSIVE transitive closure per branch; the hash verifies
+    cluster assignment AND canonical choice value-for-value for both
+    paths."""
+    from pyspark.sql import functions as F
+
     from ccspark import dedup
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.near_dup_clusters(docs, threshold=NEAR_DUP_TH,
-                                   num_hashes=12, bands=4)
+    est = dedup.near_dup_clusters(docs, threshold=NEAR_DUP_TH,
+                                  num_hashes=12, bands=4)
+    ver = dedup.near_dup_clusters(docs, threshold=NEAR_DUP_TH,
+                                  num_hashes=12, bands=4,
+                                  verify_exact=True)
+    cols = ["doc_id", "cluster_id", "survivor"]
+    return (est.select(F.lit("est").alias("path"), *cols)
+            .unionByName(ver.select(F.lit("ver").alias("path"), *cols)))
 
 
 def _near_dup_oracle() -> str:
     pairs_sql = q_minhash_pairs(DUCK)
-    return f"""WITH RECURSIVE base AS ({pairs_sql}),
-tp AS (SELECT doc_a, doc_b FROM base WHERE jaccard_est >= {NEAR_DUP_TH}),
-edges AS (
-  SELECT doc_a AS s, doc_b AS t FROM tp
+    sh = _minhash_shingles(DUCK)
+
+    def closure(tag: str, tp: str) -> str:
+        return f"""edges_{tag} AS (
+  SELECT doc_a AS s, doc_b AS t FROM {tp}
   UNION
-  SELECT doc_b AS s, doc_a AS t FROM tp
+  SELECT doc_b AS s, doc_a AS t FROM {tp}
 ),
-reach(s, t) AS (
-  SELECT s, t FROM edges
+reach_{tag}(s, t) AS (
+  SELECT s, t FROM edges_{tag}
   UNION
-  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
-)
-SELECT s AS doc_id, least(min(t), s) AS cluster_id,
+  SELECT r.s, e.t FROM reach_{tag} r JOIN edges_{tag} e ON r.t = e.s
+)"""
+
+    def select(tag: str) -> str:
+        return f"""SELECT '{tag}' AS path, s AS doc_id,
+       least(min(t), s) AS cluster_id,
        (least(min(t), s) = s) AS survivor
-FROM reach GROUP BY s"""
+FROM reach_{tag} GROUP BY s"""
+
+    return f"""WITH RECURSIVE base AS ({pairs_sql}),
+sh AS (SELECT doc_id, shingle FROM {sh} q),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM base c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+exact AS (
+  SELECT c.doc_a, c.doc_b,
+         coalesce(i.common, 0) * 1e0
+         / (na.n + nb.n - coalesce(i.common, 0)) AS j
+  FROM base c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes na ON na.doc_id = c.doc_a
+  JOIN sizes nb ON nb.doc_id = c.doc_b
+),
+tp_est AS (SELECT doc_a, doc_b FROM base WHERE jaccard_est >= {NEAR_DUP_TH}),
+tp_ver AS (SELECT doc_a, doc_b FROM exact WHERE j >= {NEAR_DUP_TH}),
+{closure("est", "tp_est")},
+{closure("ver", "tp_ver")}
+{select("est")}
+UNION ALL
+{select("ver")}"""
 
 
 def _mq_dual_lid_agreement(spark, sf_dir):
