@@ -341,12 +341,42 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text", k: int = 3,
 
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16,
-            id_col: str = "doc_id") -> DataFrame:
+            id_col: str = "doc_id",
+            hash_family: str = "md5") -> DataFrame:
     """SimHash fingerprint: bit i of the fingerprint is the majority vote
     of hex digit i of md5(word) being >= 8 (the digit's high bit), over
-    all words.  16 hex digits -> 16-bit fingerprint; cross-engine stable."""
+    all words.  16 hex digits -> 16-bit fingerprint; cross-engine stable
+    (the oracled ``simhash`` query is this rendering).
+
+    ``hash_family='xxhash64'`` is the production fast path: bit i is
+    read straight off the word's xxhash64 long (shiftright + mask, all
+    whole-stage codegen, no hex string) and *bits* may go up to 63.
+    Same majority-vote structure, different concrete fingerprints -
+    near-dup behavior (small Hamming distance for similar docs) is
+    family-independent and pytest-asserted."""
     words = docs.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    if hash_family == "xxhash64":
+        words = words.where(F.length("w") > 0).withColumn(
+            "h", F.xxhash64("w"))
+        bit_votes = words.select(
+            id_col,
+            *[
+                (F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1)
+                  .otherwise(-1)).alias(f"b{i}")
+                for i in range(bits)
+            ],
+        )
+        agg = bit_votes.groupBy(id_col).agg(
+            *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)])
+        return agg.select(
+            id_col,
+            sum(
+                (F.when(F.col(f"s{i}") > 0, 1).otherwise(0) * (2 ** i)
+                 for i in range(bits)),
+                start=F.lit(0),
+            ).cast("long").alias("simhash"),
+        )
     words = words.where(F.length("w") > 0).withColumn("h", F.md5("w"))
     bit_votes = words.select(
         id_col,

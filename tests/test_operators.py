@@ -489,3 +489,27 @@ def test_dedup_near_verify_exact(spark):
                                   verify_exact=True)
     assert {r.doc_id for r in ver.collect()} <= \
         {r.doc_id for r in est.collect()}
+
+
+def test_simhash_xxhash64_family(spark):
+    """The xxhash64 simhash family (bits straight off the word hash, no
+    hex strings): identical docs get identical fingerprints, near-dups
+    are within a small Hamming distance, and unrelated docs are not -
+    the same behavioral bars the md5 family meets."""
+    from ccspark import dedup
+    base = " ".join(f"word{i}" for i in range(60))
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base),                                # exact
+        Row(doc_id=2, text=base.replace("word3 ", "changed ")),  # near
+        Row(doc_id=3, text=" ".join(f"zz{i}" for i in range(60))),
+    ])
+    for bits in (16, 32):
+        fp = {r.doc_id: r.simhash for r in
+              dedup.simhash(docs, bits=bits,
+                            hash_family="xxhash64").collect()}
+        ham = lambda a, b: bin(fp[a] ^ fp[b]).count("1")
+        assert fp[0] == fp[1]
+        assert ham(0, 2) <= bits // 4
+        assert ham(0, 3) > ham(0, 2)
+        assert all(0 <= v < 2 ** bits for v in fp.values())
