@@ -513,3 +513,27 @@ def test_simhash_xxhash64_family(spark):
         assert ham(0, 2) <= bits // 4
         assert ham(0, 3) > ham(0, 2)
         assert all(0 <= v < 2 ** bits for v in fp.values())
+
+
+def test_dedup_near_pre_exact_identical_survivors(spark):
+    """pre_exact=True must keep EXACTLY the same survivor set as the
+    direct form on a dup-heavy corpus (group representative = group min,
+    exact-dup groups always join their representative's cluster, min
+    over a cluster = min over its groups' minima)."""
+    from ccspark import dedup
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the deep green forest before nightfall today")
+    rows = []
+    did = 0
+    for variant in (base, base.replace("today", "tomorrow"),
+                    " ".join(f"token{i}" for i in range(40))):
+        for _ in range(5):                      # 5 exact copies each
+            rows.append(Row(doc_id=did, text=variant)); did += 1
+    docs = spark.createDataFrame(rows)
+    for kw in ({}, {"verify_exact": True}):
+        direct = {r.doc_id for r in dedup.dedup_near(
+            docs, threshold=0.5, hash_family="xxhash64", **kw).collect()}
+        pre = {r.doc_id for r in dedup.dedup_near(
+            docs, threshold=0.5, hash_family="xxhash64",
+            pre_exact=True, **kw).collect()}
+        assert direct == pre == {0, 10}, (kw, direct, pre)
