@@ -647,6 +647,74 @@ def dedup_near(docs: DataFrame, threshold: float = 0.5,
     return docs.join(losers, id_col, "left_anti")
 
 
+def minhash_signature_table(docs: DataFrame, text_col: str = "text",
+                            k: int = 3, num_hashes: int = 12,
+                            id_col: str = "doc_id",
+                            hash_family: str = "xxhash64") -> DataFrame:
+    """The persistable per-document MinHash signature table
+    (id_col, m0..m{num_hashes-1}) - compute it once per crawl and save
+    it (parquet / catalog.save_bucketed on a band digest) so later
+    crawls can be near-dup screened against HISTORY without ever
+    re-reading historical text.  At 10^12 docs the signature table is
+    ~100 bytes/doc - the only history state incremental near-dup
+    needs."""
+    sh = (shingle_hashes(docs, text_col, k, id_col)
+          if hash_family == "xxhash64"
+          else shingles(docs, text_col, k, id_col))
+    return minhash_signatures(sh, num_hashes, id_col, hash_family)
+
+
+def incremental_near_dups(new_docs: DataFrame, history_sig: DataFrame,
+                          threshold: float = 0.9,
+                          text_col: str = "text", k: int = 3,
+                          bands: int = 4, id_col: str = "doc_id",
+                          hash_family: str = "xxhash64") -> DataFrame:
+    """Cross-crawl incremental NEAR-dup screen: drop every *new_docs*
+    row whose text is a near-duplicate (minhash estimate >= *threshold*)
+    of anything in the historical signature table - the monthly-crawl
+    companion of ``incremental_new_rows`` (exact) for fuzzy matches.
+
+    *history_sig* is a ``minhash_signature_table`` output (same
+    num_hashes/k/hash_family - num_hashes is inferred from its m-columns
+    and must divide into the same banding).  Only the NEW crawl's text
+    is read; history enters as ~100 bytes/doc of signatures.  The
+    band-digest join is new-vs-history (no self-join): with history
+    bucketed on its band digests (catalog.save_bucketed) the probe
+    shuffles only the new crawl.  Dedup WITHIN the new crawl itself is
+    ``dedup_near``'s job, run separately - composing screen-then-self
+    keeps each stage's state bounded."""
+    mcols = [c for c in history_sig.columns if c.startswith("m")]
+    sig_new = minhash_signature_table(new_docs, text_col, k, len(mcols),
+                                      id_col, hash_family)
+    rows_per_band = max(1, len(mcols) // bands)
+
+    def banded(sig):
+        digs = []
+        for bi in range(bands):
+            cols = mcols[bi * rows_per_band:(bi + 1) * rows_per_band]
+            if cols:
+                if hash_family == "xxhash64":
+                    digs.append(F.xxhash64(*[F.col(c) for c in cols]))
+                else:
+                    digs.append(F.md5(F.concat_ws(",", *cols)))
+        return sig.select(id_col, *mcols,
+                          F.explode(F.array(*digs)).alias("digest"))
+
+    a = banded(sig_new).alias("a")        # new crawl
+    b = banded(history_sig).alias("b")    # history
+    agree = None
+    for c in mcols:
+        t = (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int")
+        agree = t if agree is None else agree + t
+    matched = (
+        a.join(b, "digest")
+        .where((agree / F.lit(len(mcols))) >= threshold)
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(matched, id_col, "left_anti")
+
+
 def incremental_new_rows(new: DataFrame, seen: DataFrame,
                          key: str = "hash") -> DataFrame:
     """Cross-crawl incremental dedup: keep only *new* rows whose key never

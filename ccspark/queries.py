@@ -918,16 +918,21 @@ FROM scored"""
 
 # ----- near-dup + similarity over documents/embeddings --------------------
 
-def _minhash_shingles(d: str, k: int = 3) -> str:
+_MINHASH_P = 2147483647
+_MINHASH_AB = [(1103515245 + 2 * i, 12345 + 7 * i) for i in range(12)]
+
+
+def _minhash_shingles(d: str, k: int = 3, src: str = "documents") -> str:
     """Distinct word-k-gram shingle subquery (doc_id, shingle) - the
-    shared gram rendering of the minhash template AND the near-dup
-    oracle's exact-Jaccard branch (one definition so the two can't
-    drift; mirrors dedup.shingles exactly, length-0 filter included).
-    Words are bound to a projection column BEFORE the transform lambda:
-    HOFs are interpreted, so an inlined split re-evaluates per array
-    element (measured 3.6x at sf1, r4 - see dedup.shingles)."""
+    shared gram rendering of the minhash template AND the near-dup /
+    incremental oracles (one definition so they can't drift; mirrors
+    dedup.shingles exactly, length-0 filter included).  *src* is the
+    source relation (a table name or parenthesized subquery).  Words
+    are bound to a projection column BEFORE the transform lambda: HOFs
+    are interpreted, so an inlined split re-evaluates per array element
+    (measured 3.6x at sf1, r4 - see dedup.shingles)."""
     words = split_arr(d, "text", " ")
-    dw = f"(SELECT doc_id, {words} AS w FROM documents)"
+    dw = f"(SELECT doc_id, {words} AS w FROM {src})"
     if d == SPARK:
         sh_arr = (f"transform(sequence(0, greatest(size(w) - {k}, 0)), "
                   f"i -> concat_ws(' ', slice(w, i + 1, {k})))")
@@ -949,8 +954,8 @@ def q_minhash_pairs(d: str) -> str:
     rows, candidates = shared band digest, estimated Jaccard = fraction of
     agreeing minhashes.  31-bit values keep a_i*h inside int64 in both
     engines (both raise on bigint overflow)."""
-    P = 2147483647
-    AB = [(1103515245 + 2 * i, 12345 + 7 * i) for i in range(12)]
+    P = _MINHASH_P
+    AB = _MINHASH_AB
     sh = _minhash_shingles(d)
     h32 = hex_to_bigint(d, "substr(md5(shingle), 1, 7)")
     mins = ", ".join(
@@ -1978,33 +1983,99 @@ FROM (
 _ANN_RECALL_ORACLE = _ann_recall_oracle()
 
 
+INCR_NEAR_TH = 0.9
+
+
 def _mq_incremental_dedup(spark, sf_dir):
-    """Cross-crawl incremental dedup: 'new crawl' = docs 250..499 plus a
-    replay of docs 0..49 (the re-fetched pages every real crawl contains);
-    'history' = docs 0..249.  dedup.incremental_new_rows must keep exactly
-    the genuinely-new rows - the oracle recomputes the anti-join in SQL."""
+    """Cross-crawl incremental dedup, TAG-UNION of the two production
+    screens so both are value-graded in one slot (r4): 'new crawl' =
+    docs 250..499 plus a replay of docs 0..49 (the re-fetched pages
+    every real crawl contains); 'history' = docs 0..249.
+
+      exact - dedup.incremental_new_rows: anti-join on the text hash.
+      near  - dedup.incremental_near_dups: the new crawl screened
+              against history's MINHASH SIGNATURE TABLE
+              (dedup.minhash_signature_table, md5 family so the oracle
+              can recompute it) - near-dups of history (estimate >=
+              INCR_NEAR_TH) drop even when the bytes differ.  On this
+              fixture the near branch screens genuinely more than the
+              exact one (cross-boundary near-dup pairs at est 0.92-1.0),
+              so the two branches differ.
+
+    The oracle recomputes both in SQL: the anti-join, and the full
+    signature/banding/agreement pipeline over the same shingle
+    rendering (_minhash_shingles, shared with the minhash template)."""
     from pyspark.sql import functions as F
 
     from ccspark import dedup
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    hist = docs.where("doc_id < 250").select(F.md5("text").alias("hash"))
+    hist = docs.where("doc_id < 250")
     new = (docs.where("doc_id >= 250")
-           .unionByName(docs.where("doc_id < 50"))
-           .select("doc_id", F.md5("text").alias("hash")))
-    out = dedup.incremental_new_rows(new, hist, key="hash")
-    return out.select("doc_id", "hash")
+           .unionByName(docs.where("doc_id < 50")))
+    exact = dedup.incremental_new_rows(
+        new.select("doc_id", F.md5("text").alias("hash")),
+        hist.select(F.md5("text").alias("hash")), key="hash")
+    hist_sig = dedup.minhash_signature_table(hist, num_hashes=12,
+                                             hash_family="md5")
+    near = (dedup.incremental_near_dups(new, hist_sig,
+                                        threshold=INCR_NEAR_TH,
+                                        bands=4, hash_family="md5")
+            .select("doc_id", F.md5("text").alias("hash")))
+    return (exact.select(F.lit("exact").alias("path"), "doc_id", "hash")
+            .unionByName(
+                near.select(F.lit("near").alias("path"), "doc_id",
+                            "hash")))
 
 
-_INCREMENTAL_DEDUP_ORACLE = """WITH hist AS (
-  SELECT DISTINCT md5(text) AS hash FROM documents WHERE doc_id < 250
+def _incremental_dedup_oracle() -> str:
+    P = _MINHASH_P
+    h32 = hex_to_bigint(DUCK, "substr(md5(shingle), 1, 7)")
+    mins = ", ".join(f"min(({a} * h + {b}) % {P}) AS m{i}"
+                     for i, (a, b) in enumerate(_MINHASH_AB))
+    digest = lambda lo: ("md5(concat(" + ", ".join(
+        f"m{j}" if j == lo + 2 else f"m{j}, ','"
+        for j in range(lo, lo + 3)) + "))")
+    arr_d = "[" + ", ".join(digest(bi * 3) for bi in range(4)) + "]"
+    agree = " + ".join(
+        f"(CASE WHEN n.m{i} = h.m{i} THEN 1 ELSE 0 END)"
+        for i in range(12))
+    mcols = ", ".join(f"m{i}" for i in range(12))
+
+    def sig(tag: str, src: str) -> str:
+        sh = _minhash_shingles(DUCK, src=src)
+        return f"""sh_{tag} AS (SELECT doc_id, shingle FROM {sh} q),
+hashed_{tag} AS (
+  SELECT doc_id, {h32} AS h FROM sh_{tag} WHERE length(shingle) > 0
+),
+sig_{tag} AS (SELECT doc_id, {mins} FROM hashed_{tag} GROUP BY doc_id),
+dig_{tag} AS (
+  SELECT doc_id, {mcols}, unnest({arr_d}) AS digest FROM sig_{tag}
+)"""
+
+    return f"""WITH hist_rows AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 250
 ),
 new_rows AS (
-  SELECT doc_id, md5(text) AS hash FROM documents WHERE doc_id >= 250
+  SELECT doc_id, text FROM documents WHERE doc_id >= 250
   UNION ALL
-  SELECT doc_id, md5(text) AS hash FROM documents WHERE doc_id < 50
+  SELECT doc_id, text FROM documents WHERE doc_id < 50
+),
+{sig("h", "hist_rows")},
+{sig("n", "new_rows")},
+matched AS (
+  SELECT DISTINCT n.doc_id
+  FROM dig_n n JOIN dig_h h ON n.digest = h.digest
+  WHERE ({agree}) * 1e0 / 12 >= {INCR_NEAR_TH}
 )
-SELECT n.doc_id, n.hash FROM new_rows n
-WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.hash = n.hash)"""
+SELECT 'exact' AS path, n.doc_id, md5(n.text) AS hash FROM new_rows n
+WHERE NOT EXISTS (SELECT 1 FROM hist_rows h
+                  WHERE md5(h.text) = md5(n.text))
+UNION ALL
+SELECT 'near' AS path, n.doc_id, md5(n.text) AS hash FROM new_rows n
+WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.doc_id = n.doc_id)"""
+
+
+_INCREMENTAL_DEDUP_ORACLE = _incremental_dedup_oracle()
 
 
 def _mq_domain_quality(spark, sf_dir):

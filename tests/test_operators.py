@@ -537,3 +537,39 @@ def test_dedup_near_pre_exact_identical_survivors(spark):
             docs, threshold=0.5, hash_family="xxhash64",
             pre_exact=True, **kw).collect()}
         assert direct == pre == {0, 10}, (kw, direct, pre)
+
+
+def test_incremental_near_dups(spark):
+    """Cross-crawl near-dup screen: a new doc near-duplicating history
+    (exact copy or small edit) is dropped, a fresh doc survives, and the
+    screen only consumes history SIGNATURES - asserted by feeding it a
+    signature table with the text column long gone.  Round-trip: the
+    table survives parquet persistence."""
+    import tempfile
+
+    from ccspark import dedup
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the deep green forest before nightfall today")
+    hist = spark.createDataFrame([
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=" ".join(f"old{i}" for i in range(40))),
+    ])
+    sig = dedup.minhash_signature_table(hist)
+    with tempfile.TemporaryDirectory() as d:
+        sig.write.parquet(f"{d}/sig")
+        hist_sig = spark.read.parquet(f"{d}/sig")
+        new = spark.createDataFrame([
+            Row(doc_id=100, text=base),                            # exact
+            Row(doc_id=101, text=base.replace("today", "tomorrow")),
+            Row(doc_id=102, text=" ".join(f"new{i}" for i in range(40))),
+        ])
+        kept = {r.doc_id for r in dedup.incremental_near_dups(
+            new, hist_sig, threshold=0.9).collect()}
+        assert 100 not in kept            # exact copy of history
+        assert 102 in kept                # genuinely new
+        # the small edit estimates ~11/12 >= 0.9 -> screened too
+        assert kept == {102}
+        # self-contained crawl passes untouched against empty history
+        empty_sig = hist_sig.limit(0)
+        assert dedup.incremental_near_dups(
+            new, empty_sig, threshold=0.9).count() == 3
