@@ -80,6 +80,31 @@ def main() -> None:
         add(f"query: {name}",
             spark.sql(Q.QUERY_BUILDERS[name](SPARK)), note)
 
+    sf_dir = "/root/testdata/sf0.001"
+    for name, note in (
+        ("near_dup_removal", "MinHash-LSH near-dup removal (est+ver): "
+                             "pre_exact collapses exact-copy groups "
+                             "before pair emission; signatures ride the "
+                             "banding explode (2 derivations); exact-"
+                             "Jaccard verify only touches LSH "
+                             "candidates."),
+        ("incremental_dedup", "Cross-crawl screens: hash anti-join "
+                              "(exact) + new-vs-history band-digest "
+                              "probe over the persisted signature table "
+                              "(near) - only the NEW crawl's text is "
+                              "read; history enters as ~100B/doc "
+                              "signatures."),
+        ("decontamination", "13-gram eval-overlap scrub: per-word "
+                            "xxhash64 once, compositional gram folds "
+                            "(no gram strings); eval grams broadcast."),
+        ("token_suite", "Token stats + budget sampler: bucketed "
+                        "distributed prefix-sum (md5-first-byte "
+                        "buckets, offsets broadcast) - no per-group "
+                        "sort-the-world window."),
+    ):
+        add(f"module query: {name}", Q.MODULE_QUERIES[name](spark, sf_dir),
+            note)
+
     with open("PLANS.md", "w") as fh:
         fh.write("# PLANS — physical plans of the headline jobs "
                  "(sf0.001 fixtures, AQE on)\n\n" + "\n".join(sections))
