@@ -664,6 +664,36 @@ def minhash_signature_table(docs: DataFrame, text_col: str = "text",
     return minhash_signatures(sh, num_hashes, id_col, hash_family)
 
 
+def banded_signatures(sig: DataFrame, bands: int = 4,
+                      id_col: str = "doc_id",
+                      hash_family: str = "xxhash64") -> DataFrame:
+    """Explode a ``minhash_signature_table`` into its band-digest form
+    (id_col, m0.., digest) - one row per (doc, band).  This is the
+    PERSISTED layout for cross-crawl screening at scale: write history
+    with ``catalog.save_bucketed(spark, banded, tbl, "digest")`` and
+    ``incremental_near_dups`` probes it with the history-side exchange
+    gone (asserted in tests/test_operators.py) - only the new crawl's
+    (much smaller) digest stream shuffles."""
+    mcols = _sig_cols(sig)
+    rows_per_band = max(1, len(mcols) // bands)
+    digs = []
+    for bi in range(bands):
+        cols = mcols[bi * rows_per_band:(bi + 1) * rows_per_band]
+        if cols:
+            if hash_family == "xxhash64":
+                digs.append(F.xxhash64(*[F.col(c) for c in cols]))
+            else:
+                digs.append(F.md5(F.concat_ws(",", *cols)))
+    return sig.select(id_col, *mcols,
+                      F.explode(F.array(*digs)).alias("digest"))
+
+
+def _sig_cols(sig: DataFrame) -> list:
+    import re
+    return sorted((c for c in sig.columns if re.fullmatch(r"m\d+", c)),
+                  key=lambda c: int(c[1:]))
+
+
 def incremental_near_dups(new_docs: DataFrame, history_sig: DataFrame,
                           threshold: float = 0.9,
                           text_col: str = "text", k: int = 3,
@@ -674,34 +704,24 @@ def incremental_near_dups(new_docs: DataFrame, history_sig: DataFrame,
     of anything in the historical signature table - the monthly-crawl
     companion of ``incremental_new_rows`` (exact) for fuzzy matches.
 
-    *history_sig* is a ``minhash_signature_table`` output (same
-    num_hashes/k/hash_family - num_hashes is inferred from its m-columns
-    and must divide into the same banding).  Only the NEW crawl's text
-    is read; history enters as ~100 bytes/doc of signatures.  The
-    band-digest join is new-vs-history (no self-join): with history
-    bucketed on its band digests (catalog.save_bucketed) the probe
-    shuffles only the new crawl.  Dedup WITHIN the new crawl itself is
-    ``dedup_near``'s job, run separately - composing screen-then-self
-    keeps each stage's state bounded."""
-    mcols = [c for c in history_sig.columns if c.startswith("m")]
+    *history_sig* is a ``minhash_signature_table`` output, or its
+    pre-banded ``banded_signatures`` form (detected by the ``digest``
+    column; same num_hashes/k/hash_family/bands - num_hashes is
+    inferred from the m-columns).  Only the NEW crawl's text is read;
+    history enters as ~100 bytes/doc of signatures.  The band-digest
+    join is new-vs-history (no self-join): with the banded history
+    bucketed on digest (catalog.save_bucketed) the probe reads it
+    pre-shuffled and only the new crawl's digest stream moves.  Dedup
+    WITHIN the new crawl itself is ``dedup_near``'s job, run separately
+    - composing screen-then-self keeps each stage's state bounded."""
+    mcols = _sig_cols(history_sig)
     sig_new = minhash_signature_table(new_docs, text_col, k, len(mcols),
                                       id_col, hash_family)
-    rows_per_band = max(1, len(mcols) // bands)
-
-    def banded(sig):
-        digs = []
-        for bi in range(bands):
-            cols = mcols[bi * rows_per_band:(bi + 1) * rows_per_band]
-            if cols:
-                if hash_family == "xxhash64":
-                    digs.append(F.xxhash64(*[F.col(c) for c in cols]))
-                else:
-                    digs.append(F.md5(F.concat_ws(",", *cols)))
-        return sig.select(id_col, *mcols,
-                          F.explode(F.array(*digs)).alias("digest"))
-
-    a = banded(sig_new).alias("a")        # new crawl
-    b = banded(history_sig).alias("b")    # history
+    a = banded_signatures(sig_new, bands, id_col,
+                          hash_family).alias("a")     # new crawl
+    b = (history_sig if "digest" in history_sig.columns
+         else banded_signatures(history_sig, bands, id_col,
+                                hash_family)).alias("b")   # history
     agree = None
     for c in mcols:
         t = (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int")

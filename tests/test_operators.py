@@ -573,3 +573,53 @@ def test_incremental_near_dups(spark):
         empty_sig = hist_sig.limit(0)
         assert dedup.incremental_near_dups(
             new, empty_sig, threshold=0.9).count() == 3
+
+
+def test_incremental_near_dups_banded_history(spark):
+    """The scale layout: history persisted PRE-BANDED
+    (dedup.banded_signatures) and bucketed on digest.  Survivors must be
+    identical to the raw-signature path, and the probe plan must lose
+    the history-side exchange (only the new crawl's digests shuffle)."""
+    import re
+    import shutil
+
+    from ccspark import catalog as cat
+    from ccspark import dedup
+    texts = [" ".join(f"w{i}x{j}" for j in range(40)) for i in range(30)]
+    hist = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    new = spark.createDataFrame(
+        [Row(doc_id=100, text=texts[0]),             # near-dup of history
+         Row(doc_id=101, text=" ".join(f"f{i}" for i in range(40)))])
+    sig = dedup.minhash_signature_table(hist)
+    banded = dedup.banded_signatures(sig)
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir") \
+        .replace("file:", "")
+    spark.sql("DROP TABLE IF EXISTS b_hist_sig")
+    shutil.rmtree(f"{warehouse}/b_hist_sig", ignore_errors=True)
+    cat.save_bucketed(spark, banded, "b_hist_sig", "digest", n_buckets=8)
+
+    old_th = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        kept_raw = {r.doc_id for r in dedup.incremental_near_dups(
+            new, sig).collect()}
+        kept_bucketed = {r.doc_id for r in dedup.incremental_near_dups(
+            new, spark.table("b_hist_sig")).collect()}
+        assert kept_raw == kept_bucketed == {101}
+
+        def n_shuffles(df):
+            # fresh (unexecuted) frame: after a collect, AQE's
+            # isFinalPlan toString appends the initial plan and every
+            # exchange counts twice
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return len(re.findall(
+                r"Exchange (?:hash|range)partitioning", plan))
+
+        probe = dedup.incremental_near_dups(new, spark.table("b_hist_sig"))
+        inline = dedup.incremental_near_dups(new, banded)
+        assert n_shuffles(probe) < n_shuffles(inline), (
+            n_shuffles(probe), n_shuffles(inline))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_th)
