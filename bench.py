@@ -67,7 +67,6 @@ def main() -> None:
         "minhash_pairs",
         "simhash",
         "knn_cosine",
-        "sign_lsh_suite",
         "doc_fingerprint",
         "pii_scrub",
         "media_meta",
@@ -81,6 +80,10 @@ def main() -> None:
     for name in sql_queries:
         sql = Q.QUERY_BUILDERS[name](SPARK)
         timed(name, lambda s=sql: spark.sql(s).count())
+
+    # ann + pairs template; the graded module adds the CC survivor branch
+    lsh_sql = Q.q_sign_lsh_suite(SPARK)
+    timed("sign_lsh_suite", lambda: spark.sql(lsh_sql).count())
 
     # language-aware doc gate, production pandas-UDF path (the facade
     # default since r3) vs its pure-expression rendering
@@ -206,6 +209,20 @@ def main() -> None:
         timed1("winnow_fingerprints_xxh64",
                lambda: dedup_mod.winnow_fingerprints(
                    docs1, hash_family="xxhash64").count())
+        # end-to-end semantic dedup at 10x: every vector gets 10 exact
+        # copies (cosine 1.0, shared sign bucket), so the pairs stage
+        # sees real duplicate multiplicity and CC sees 10-node stars
+        from ccspark import similarity as sim_mod
+        emb1 = replicate(spark.read.parquet(
+            f"{sf_dir}/embeddings.parquet"), num_cols=("vec_id",)).persist()
+        emb1.count()
+        timed1("embedding_dedup_module",
+               lambda: sim_mod.dedup_near_embeddings(
+                   emb1, threshold=0.9).count())
+        timed1("embedding_dedup_pre_exact",
+               lambda: sim_mod.dedup_near_embeddings(
+                   emb1, threshold=0.9, pre_exact=True).count())
+        emb1.unpersist()
         pages1.unpersist()
         docs1.unpersist()
         out["queries_sf1"] = t1

@@ -1101,14 +1101,17 @@ ranked AS (
 SELECT query_id, neighbor_id, bucket, cosine, rk FROM ranked WHERE rk <= 3"""
 
 
+EMB_ND_TH = 0.30
+
+
 def q_embedding_near_dups(d: str) -> str:
     """Embedding-cosine near-duplicate detection: candidate pairs from
     sign-LSH buckets (8 fixed dimensions), kept when cosine >= 0.90 -
     the semantic-dedup complement to MinHash (which sees only surface
     n-grams).  Bucketing keeps the self-join near-linear at scale.
-    Threshold 0.30 here: the driver's synthetic embeddings are near-
-    orthogonal (max within-bucket cosine ~0.45), so a production-style
-    0.9 cut would make the check vacuous; the plan is identical."""
+    Threshold EMB_ND_TH=0.30 here: the driver's synthetic embeddings are
+    near-orthogonal (max within-bucket cosine ~0.45), so a production-
+    style 0.9 cut would make the check vacuous; the plan is identical."""
     idx = lambda e, i: (f"element_at({e}, {i})" if d == SPARK else f"{e}[{i}]")
     def bucket(e):
         return ("concat(" + ", ".join(
@@ -1137,7 +1140,7 @@ pairs AS (
     ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, label_a, label_b, cosine
-FROM pairs WHERE cosine >= 0.30"""
+FROM pairs WHERE cosine >= {EMB_ND_TH}"""
 
 
 def q_sign_lsh_suite(d: str) -> str:
@@ -1145,7 +1148,9 @@ def q_sign_lsh_suite(d: str) -> str:
     slot (r3 fold pattern: both ride the same sign-LSH bucketing, both
     are dialect-shared templates, so they share a slot without losing a
     single verified value - the union keeps every column of each branch).
-    Freed slot taken by near_dup_removal (r3 verdict item 6)."""
+    Freed slot taken by near_dup_removal (r3 verdict item 6).  r4: a
+    third 'survivor' branch (the END-TO-END semantic dedup output) rides
+    the module side - see _mq_sign_lsh_suite."""
     a = q_ann_sign_lsh(d)
     b = q_embedding_near_dups(d)
     return f"""SELECT 'ann' AS op, query_id AS id_a, neighbor_id AS id_b,
@@ -1499,9 +1504,9 @@ QUERY_BUILDERS: dict[str, Callable[[str], str]] = {
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "knn_cosine": q_knn_cosine,
-    # ann_sign_lsh + embedding_near_dups share one tag-union slot (the
-    # freed slot went to near_dup_removal, r3 verdict item 6)
-    "sign_lsh_suite": q_sign_lsh_suite,
+    # sign_lsh_suite moved to MODULE_QUERIES (r4): its third branch is
+    # the end-to-end semantic dedup survivor set (connected components,
+    # not SQL-expressible Spark-side)
     # token_stats now rides the token_suite module slot (tag-union with
     # the budget sampler, r4)
     "doc_fingerprint": q_doc_fingerprint,
@@ -2262,6 +2267,58 @@ UNION ALL
 {select("ver")}"""
 
 
+def _mq_sign_lsh_suite(spark, sf_dir):
+    """sign_lsh_suite = ann_sign_lsh + embedding_near_dups (the shared
+    SQL template, unchanged) + a third 'survivor' tag branch (r4): the
+    END-TO-END semantic near-dup removal output
+    (similarity.dedup_near_embeddings - sign-LSH pairs at EMB_ND_TH ->
+    connected components -> keep cluster minima + singletons).  The
+    module path shares the template's exact pair semantics (same dims,
+    double cast, round(,4), threshold), so the DuckDB twin can recompute
+    the survivor set independently via a RECURSIVE transitive closure
+    over ITS OWN rendering of the pairs."""
+    from pyspark.sql import functions as F
+
+    from ccspark import similarity
+    ensure_views(spark, sf_dir)
+    base = spark.sql(q_sign_lsh_suite(SPARK))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    surv = similarity.dedup_near_embeddings(emb, threshold=EMB_ND_TH)
+    branch = surv.select(
+        F.lit("survivor").alias("op"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+        F.col("label").cast("string").alias("tag"),
+        F.lit(None).cast("double").alias("cosine"),
+        F.lit(None).cast("bigint").alias("rk"))
+    return base.unionByName(branch)
+
+
+def _sign_lsh_suite_oracle() -> str:
+    nd = q_embedding_near_dups(DUCK)
+    return f"""WITH RECURSIVE nd AS ({nd}),
+edges AS (
+  SELECT vec_a AS s, vec_b AS t FROM nd
+  UNION
+  SELECT vec_b AS s, vec_a AS t FROM nd
+),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+),
+losers AS (
+  SELECT s FROM reach GROUP BY s HAVING least(min(t), s) <> s
+)
+{q_sign_lsh_suite(DUCK)}
+UNION ALL
+SELECT 'survivor' AS op, vec_id AS id_a, cast(NULL AS bigint) AS id_b,
+       cast(label AS varchar) AS tag, cast(NULL AS double) AS cosine,
+       cast(NULL AS bigint) AS rk
+FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.s = e.vec_id)"""
+
+
 def _mq_dual_lid_agreement(spark, sf_dir):
     """M2: dual trained models + expected-lang conjunction filter."""
     from ccspark import lid
@@ -2294,6 +2351,9 @@ MODULE_QUERIES = {
     "incremental_dedup": _mq_incremental_dedup,
     "domain_quality": _mq_domain_quality,
     "near_dup_removal": _mq_near_dup_removal,
+    # ann + embedding near-dup pairs (shared template) + the end-to-end
+    # semantic-dedup survivor branch (r4)
+    "sign_lsh_suite": _mq_sign_lsh_suite,
     "ivf_ann": _mq_ivf_ann,
 }
 
@@ -2317,4 +2377,5 @@ MODULE_ORACLES = {
     "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
     "domain_quality": _domain_quality_oracle(),
     "near_dup_removal": _near_dup_oracle(),
+    "sign_lsh_suite": _sign_lsh_suite_oracle(),
 }

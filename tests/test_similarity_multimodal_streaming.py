@@ -107,6 +107,48 @@ def test_pq_shortlist_rerank_exact_on_clustered_vectors(spark):
 
 # ---------------- multimodal ----------------
 
+def test_dedup_near_embeddings(spark):
+    """End-to-end semantic dedup: scaled copies and tiny perturbations of
+    a vector collapse transitively to the min-id representative; sign-
+    distinct and low-cosine vectors survive.  A negated vector lands in
+    the opposite sign bucket (never compared) AND has cosine -1 - safe
+    either way."""
+    base = [1.0] * 64
+    tweaked = [1.0] * 64
+    tweaked[2] = 0.7                       # cosine ~0.999 vs base
+    alt = [(-1.0 if i % 2 == 0 else 1.0) for i in range(64)]  # dim1<0:
+    rows = [                               # other bucket, cosine 0 anyway
+        Row(vec_id=0, label=0, embedding=base),
+        Row(vec_id=1, label=0, embedding=[2.0 * x for x in base]),
+        Row(vec_id=2, label=0, embedding=tweaked),
+        Row(vec_id=3, label=1, embedding=alt),
+        Row(vec_id=4, label=1, embedding=[-x for x in base]),
+    ]
+    e = spark.createDataFrame(rows)
+    pairs = similarity.sign_lsh_pairs(e, threshold=0.9)
+    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    assert got == {(0, 1), (0, 2), (1, 2)}
+    kept = {r.vec_id for r in
+            similarity.dedup_near_embeddings(e, threshold=0.9).collect()}
+    assert kept == {0, 3, 4}
+    # transitive chain: 0~1 and 1~2 suffice even if 0~2 were missed
+    chain = spark.createDataFrame(rows[:3])
+    kept2 = {r.vec_id for r in similarity.dedup_near_embeddings(
+        chain, threshold=0.9).collect()}
+    assert kept2 == {0}
+    # pre_exact identity at 10x copy multiplicity: every vector gets 10
+    # byte-identical copies; survivors must equal the direct path's
+    many = spark.createDataFrame(
+        [Row(vec_id=r.vec_id + 100 * c, label=r.label,
+             embedding=r.embedding)
+         for r in rows for c in range(10)])
+    direct = {r.vec_id for r in similarity.dedup_near_embeddings(
+        many, threshold=0.9).collect()}
+    pre = {r.vec_id for r in similarity.dedup_near_embeddings(
+        many, threshold=0.9, pre_exact=True).collect()}
+    assert direct == pre == {0, 3, 4}, (direct, pre)
+
+
 def test_media_meta_sniffs_types(spark):
     rows = [
         Row(doc_id=0, html=bytearray(b"\xff\xd8\xff\xe0rest-of-jpeg")),
