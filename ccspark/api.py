@@ -352,6 +352,65 @@ class CCSparkCorpus:
             decontam.decontaminate
         return fn(docs, benchmark, n=n, id_col=id_col, text_col=text_col)
 
+    def dedup_near(self, docs: DataFrame, threshold: float = 0.5,
+                   pre_exact: bool = True, verify_exact: bool = False,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+        """End-to-end near-duplicate removal (ccspark.dedup.dedup_near):
+        MinHash-LSH candidates -> (optional exact-Jaccard verify) ->
+        connected components -> keep cluster-min canonical + singletons.
+        ``pre_exact`` defaults ON here - raw crawls are copy-heavy and
+        pair emission is quadratic in copy multiplicity; survivors are
+        provably identical.  Driver-graded as query
+        ``near_dup_removal`` (est+ver tag-union)."""
+        from ccspark import dedup
+        return dedup.dedup_near(docs, threshold=threshold,
+                                hash_family="xxhash64",
+                                verify_exact=verify_exact,
+                                pre_exact=pre_exact, text_col=text_col,
+                                id_col=id_col)
+
+    def screen_new_crawl(self, new_docs: DataFrame,
+                         history_hashes: DataFrame | None = None,
+                         history_sig: DataFrame | None = None,
+                         near_threshold: float = 0.9,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+        """Cross-crawl hygiene for a monthly crawl: drop rows already in
+        history EXACTLY (anti-join vs *history_hashes*, a (hash) table of
+        xxhash64 text hashes) and/or NEARLY (minhash screen vs
+        *history_sig*, a ``dedup.minhash_signature_table`` output or its
+        pre-banded bucketed form).  History is consumed as hashes and
+        ~100 B/doc signatures only - its text is never re-read.  Dedup
+        WITHIN the crawl is ``dedup_near``'s job, run after.
+        Driver-graded as query ``incremental_dedup``."""
+        from pyspark.sql import functions as F
+
+        from ccspark import dedup
+        out = new_docs
+        if history_hashes is not None:
+            out = dedup.incremental_new_rows(
+                out.withColumn("hash", F.xxhash64(text_col)),
+                history_hashes).drop("hash")
+        if history_sig is not None:
+            out = dedup.incremental_near_dups(
+                out, history_sig, threshold=near_threshold,
+                text_col=text_col, id_col=id_col)
+        return out
+
+    def dedup_semantic(self, embeddings: DataFrame,
+                       threshold: float = 0.9, pre_exact: bool = True,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+        """Embedding-space near-dup removal
+        (ccspark.similarity.dedup_near_embeddings): sign-LSH bucketed
+        cosine pairs -> connected components -> cluster-min survivors.
+        Driver-graded inside query ``sign_lsh_suite``."""
+        from ccspark import similarity
+        return similarity.dedup_near_embeddings(
+            embeddings, threshold=threshold, pre_exact=pre_exact,
+            id_col=id_col, vec_col=vec_col)
+
     def sample_by_budget(self, docs: DataFrame, budget: int,
                          group_col: str = "lang",
                          text_col: str = "text",

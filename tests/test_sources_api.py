@@ -241,3 +241,39 @@ def test_html_to_text_extraction(spark, duck):
         f"SELECT {sources.html_to_text_expr(SPARK, 'h')} AS t "
         f"FROM html_rows").collect()[0].t
     assert got_s == want, repr(got_s)
+
+
+def test_facade_dedup_hygiene_methods(spark):
+    """The r4 facade trio: dedup_near, screen_new_crawl (exact+near vs
+    history state), dedup_semantic - thin delegations, so this just
+    drives each end-to-end on crafted frames."""
+    from pyspark.sql import Row, functions as F
+
+    from ccspark import dedup
+    cc = CCSparkCorpus(spark)
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base),                       # exact copy
+        Row(doc_id=2, text=base.replace("tok39", "x")),  # near copy
+        Row(doc_id=3, text=" ".join(f"z{i}" for i in range(40))),
+    ])
+    kept = {r.doc_id for r in cc.dedup_near(docs, threshold=0.5).collect()}
+    assert kept == {0, 3}
+
+    hist = docs.where("doc_id <= 1")
+    hashes = hist.select(F.xxhash64("text").alias("hash"))
+    sig = dedup.minhash_signature_table(hist)
+    new = docs.where("doc_id >= 1")                     # replay + fresh
+    exact_only = cc.screen_new_crawl(new, history_hashes=hashes)
+    assert {r.doc_id for r in exact_only.collect()} == {2, 3}
+    both = cc.screen_new_crawl(new, history_hashes=hashes,
+                               history_sig=sig, near_threshold=0.9)
+    assert {r.doc_id for r in both.collect()} == {3}
+
+    emb = spark.createDataFrame([
+        Row(vec_id=0, embedding=[1.0] * 64),
+        Row(vec_id=1, embedding=[2.0] * 64),            # cosine 1.0
+        Row(vec_id=2, embedding=[(-1.0) ** i for i in range(64)]),
+    ])
+    assert {r.vec_id for r in cc.dedup_semantic(emb).collect()} == {0, 2}
