@@ -162,6 +162,54 @@ def stream_dedup_events(spark: SparkSession, in_dir: str, out_dir: str,
     return q
 
 
+def stream_screen_new_crawl(spark: SparkSession, in_dir: str,
+                            out_dir: str, checkpoint_dir: str,
+                            history_hashes: DataFrame | None = None,
+                            history_sig: DataFrame | None = None,
+                            near_threshold: float = 0.9,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_files_per_trigger: int | None = None):
+    """Streaming cross-crawl hygiene: screen an arriving crawl (parquet
+    file stream) against STATIC history state - exact text-hash
+    anti-join vs *history_hashes* and/or the minhash signature screen vs
+    *history_sig* (a ``dedup.minhash_signature_table`` output or its
+    pre-banded bucketed form) - as the files land, via foreachBatch.
+
+    The screen is per-row vs a bounded static side, so it carries ZERO
+    streaming state (unlike within-stream dedup, which needs watermarked
+    state): each micro-batch runs exactly the batch operators
+    (``dedup.incremental_new_rows`` / ``incremental_near_dups``), making
+    stream == batch semantics hold by construction (asserted in tests).
+    Dedup WITHIN the arriving crawl is the downstream watermarked
+    dedup's job (``stream_corpus_build``), run after."""
+    from ccspark import dedup
+    static = spark.read.parquet(in_dir)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(in_dir)
+
+    def screen(batch_df, _batch_id):
+        out = batch_df
+        if history_hashes is not None:
+            out = dedup.incremental_new_rows(
+                out.withColumn("hash", F.xxhash64(text_col)),
+                history_hashes).drop("hash")
+        if history_sig is not None:
+            out = dedup.incremental_near_dups(
+                out, history_sig, threshold=near_threshold,
+                text_col=text_col, id_col=id_col)
+        out.write.mode("append").parquet(out_dir)
+
+    q = (docs.writeStream.foreachBatch(screen)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
 def windowed_event_counts(spark: SparkSession, events: DataFrame,
                           window: str = "10 minutes",
                           watermark: str = "30 minutes") -> DataFrame:

@@ -391,3 +391,40 @@ def test_stream_plus_compactor_equals_batch_pipeline(spark, tmp_path):
     c2 = streaming.compact_stream_output(spark, out2)
     assert sorted(r.text for r in c2.collect()) == sorted(
         r.text for r in batch.collect())
+
+
+def test_stream_screen_new_crawl_matches_batch(spark, tmp_path):
+    """foreachBatch cross-crawl screen over multiple micro-batches ==
+    the batch screen over the union (per-row vs static history, so
+    stream == batch by construction - asserted anyway)."""
+    from ccspark import dedup
+    base = " ".join(f"s{i}" for i in range(40))
+    hist = spark.createDataFrame([
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=" ".join(f"h{i}" for i in range(40))),
+    ])
+    hashes = hist.select(F.xxhash64("text").alias("hash"))
+    sig = dedup.minhash_signature_table(hist)
+    new_rows = [
+        Row(doc_id=100, text=base),                           # exact
+        Row(doc_id=101, text=base.replace("s39", "edit")),    # near
+        Row(doc_id=102, text=" ".join(f"n{i}" for i in range(40))),
+        Row(doc_id=103, text=" ".join(f"m{i}" for i in range(40))),
+    ]
+    in_dir = str(tmp_path / "in")
+    # two appended files -> maxFilesPerTrigger=1 forces two micro-batches
+    for chunk in (new_rows[:2], new_rows[2:]):
+        spark.createDataFrame(chunk).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    streaming.stream_screen_new_crawl(
+        spark, in_dir, out_dir, str(tmp_path / "ckpt"),
+        history_hashes=hashes, history_sig=sig, near_threshold=0.9,
+        max_files_per_trigger=1)
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    batch = dedup.incremental_near_dups(
+        dedup.incremental_new_rows(
+            spark.read.parquet(in_dir)
+            .withColumn("hash", F.xxhash64("text")), hashes).drop("hash"),
+        sig, threshold=0.9)
+    assert got == {r.doc_id for r in batch.collect()} == {102, 103}
