@@ -623,3 +623,78 @@ def test_incremental_near_dups_banded_history(spark):
             n_shuffles(probe), n_shuffles(inline))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_th)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_incremental_near_dups_matches_bruteforce(spark, seed):
+    """Random seeded corpora: the banded screen must EXACTLY equal a
+    brute-force Python recomputation of the minhash-agreement rule.
+    At threshold 0.9 with 12 hashes / 4 bands, agreement >= 0.9 means
+    >= 11 matching hashes, so at most ONE band is broken and >= 3 full
+    bands match - banding provably produces every qualifying candidate,
+    and candidates are filtered by the same agreement predicate, so the
+    survivor sets must be identical (not merely approximately equal)."""
+    import hashlib
+    import random
+
+    from ccspark import dedup
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+
+    def doc():
+        return " ".join(rng.choice(vocab)
+                        for _ in range(rng.randint(20, 40)))
+
+    hist_texts = [doc() for _ in range(15)]
+    new_texts = []
+    for j in range(12):
+        r = rng.random()
+        if r < 0.3:                                # exact replay
+            new_texts.append(rng.choice(hist_texts))
+        elif r < 0.6:                              # light mutation
+            w = rng.choice(hist_texts).split(" ")
+            for _ in range(rng.randint(1, 3)):
+                w[rng.randrange(len(w))] = rng.choice(vocab)
+            new_texts.append(" ".join(w))
+        else:                                      # fresh
+            new_texts.append(doc())
+
+    P = 2147483647
+
+    def sig(text, k=3, n=12):
+        mins = [P] * n
+        w = text.split(" ")
+        for i in range(max(len(w) - k, 0) + 1):
+            s = " ".join(w[i:i + k])
+            if not s:
+                continue
+            h = int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+            for j in range(n):
+                v = ((1103515245 + 2 * j) * h + (12345 + 7 * j)) % P
+                mins[j] = min(mins[j], v)
+        return mins
+
+    hsigs = [sig(t) for t in hist_texts]
+    want = set()
+    for i, t in enumerate(new_texts):
+        s = sig(t)
+        dropped = any(
+            sum(a == b for a, b in zip(s, hs)) / 12 >= 0.9
+            for hs in hsigs)
+        if not dropped:
+            want.add(i)
+
+    hist = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(hist_texts)])
+    new = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(new_texts)])
+    hist_sig = dedup.minhash_signature_table(hist, num_hashes=12,
+                                             hash_family="md5")
+    got = {r.doc_id for r in dedup.incremental_near_dups(
+        new, hist_sig, threshold=0.9, bands=4,
+        hash_family="md5").collect()}
+    assert got == want, (seed, got, want)
+    # sanity: the scenario is non-trivial (something dropped, something
+    # kept) - the generator mixes replays, mutations and fresh docs
+    assert want != set(range(len(new_texts))) and want
