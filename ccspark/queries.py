@@ -22,9 +22,7 @@ from typing import Callable
 
 from ccspark import geo, kernel
 from ccspark.fixtures_sql import pages_subquery
-from ccspark.regexes import (
-    RE_LINE_SPLIT, RE_PII_EMAIL, RE_PII_IP, RE_PII_PHONE, RE_PII_SSN,
-)
+from ccspark.regexes import RE_LINE_SPLIT
 from ccspark.sqlgen import (
     DUCK, SPARK, hex_to_bigint, rrep, split_arr,
 )
@@ -413,6 +411,17 @@ FROM pages"""
 TRAINING_GOPHER_TH: dict = {}
 
 
+def pii_chain(d: str, e: str) -> str:
+    """The PII scrub chain rendered for dialect *d*, driven by
+    scrub.SCRUB_STEPS - the module path and every template (pii_scrub,
+    training_corpus, training_corpus_domgate) share the ONE ordered
+    definition, so adding a class (r4: credit cards) can't drift."""
+    from ccspark.scrub import SCRUB_STEPS
+    for _, pat, repl in SCRUB_STEPS:
+        e = rrep(d, e, pat, repl)
+    return e
+
+
 def q_training_corpus(d: str) -> str:
     """The full quality_filter composite as ONE SQL statement:
     LANGUAGE-AWARE Gopher doc gate (per-lang stopwords, CJK-safe word
@@ -425,11 +434,7 @@ def q_training_corpus(d: str) -> str:
     from ccspark.quality import c4_page_keep_expr, gopher_keep_ml_expr
     gate = (f"({gopher_keep_ml_expr(d, 'text', 'lang', TRAINING_GOPHER_TH)}"
             f" AND {c4_page_keep_expr(d, 'text')})")
-    s = "text"
-    s = rrep(d, s, RE_PII_EMAIL, "<EMAIL>")
-    s = rrep(d, s, RE_PII_SSN, "<SSN>")
-    s = rrep(d, s, RE_PII_IP, "<IP>")
-    s = rrep(d, s, RE_PII_PHONE, "<PHONE>")
+    s = pii_chain(d, "text")
     return f"""WITH {corpus_lines_cte(d, page_filter=gate)}
 SELECT domain, tld, country, region, url, line_id, {s} AS text
 FROM corpus_lines"""
@@ -460,11 +465,7 @@ def q_training_corpus_domgate(d: str) -> str:
 good_domains AS (SELECT domain FROM dq WHERE keep_frac >= {DOMGATE_MIN_KEEP})"""
     gate = (f"({keep} AND {c4_page_keep_expr(d, 'text')} AND "
             f"domain IN (SELECT domain FROM good_domains))")
-    s = "text"
-    s = rrep(d, s, RE_PII_EMAIL, "<EMAIL>")
-    s = rrep(d, s, RE_PII_SSN, "<SSN>")
-    s = rrep(d, s, RE_PII_IP, "<IP>")
-    s = rrep(d, s, RE_PII_PHONE, "<PHONE>")
+    s = pii_chain(d, "text")
     return f"""WITH {corpus_lines_cte(d, page_filter=gate,
                                       extra_ctes=rollup)}
 SELECT domain, tld, country, region, url, line_id, {s} AS text
@@ -732,15 +733,35 @@ def q_str_hash_bitcompat(d: str) -> str:
 
 def q_pii_scrub(d: str) -> str:
     """F17 (north_rule extension): regex PII scrub over raw page lines -
-    emails, phones, IPs, SSNs -> typed placeholders, with per-page
-    redaction counts."""
-    e = "raw_line"
-    s = rrep(d, e, RE_PII_EMAIL, "<EMAIL>")
-    s = rrep(d, s, RE_PII_SSN, "<SSN>")
-    s = rrep(d, s, RE_PII_IP, "<IP>")
-    s = rrep(d, s, RE_PII_PHONE, "<PHONE>")
+    emails, phones, IPs, SSNs, credit cards -> typed placeholders, with
+    per-line redaction flags.
+
+    The fixture pages deliberately contain no PII (it must never leak
+    into other graded queries' text), so this template INJECTS one
+    deterministic PII line per page (pos 0; real lines are pos >= 1)
+    carrying every class - the scrub chain is then value-hashed
+    cross-engine on lines that actually redact (r4; previously every
+    fixture line passed through unchanged and the chain was only
+    pytest-exercised).  The email varies per row via the domain column;
+    both card spellings (space/dash groups) are present; the SSN/IP/
+    phone samples sit on one line so the chain's ORDER is exercised
+    too (ssn+ip+cc must all fire before the greedy phone class)."""
+    s = pii_chain(d, "raw_line")
+    pii = ("concat('reach ', domain, "
+           "'@mail.example.org or call +1 (555) 123-4567, card "
+           "4111 1111 1111 1111 or 4111-1111-1111-1111, host "
+           "10.0.42.7, ssn 987-65-4320 end')")
     return f"""WITH {geo_pages_cte(d)},
-raw_lines AS (SELECT * FROM {_posexplode_lines(d, 'geo_pages')} rl),
+pii_lines AS (
+  SELECT doc_id, url, tld, domain, country, region, lang,
+         0 AS pos, {pii} AS raw_line
+  FROM geo_pages
+),
+raw_lines AS (
+  SELECT * FROM {_posexplode_lines(d, 'geo_pages')} rl
+  UNION ALL
+  SELECT * FROM pii_lines
+),
 scrubbed AS (
   SELECT url, pos, raw_line, {s} AS scrubbed_line FROM raw_lines
 )

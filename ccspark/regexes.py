@@ -176,6 +176,12 @@ RE_PII_IP = (
     "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 )
 RE_PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+# 16-digit card in 4-groups (space/dash/nothing); \b guards keep longer
+# digit runs (ids, timestamps) untouched - ASCII word boundary, verified
+# match-identical Java vs RE2.  Regex-only (no Luhn), the standard
+# pipeline trade-off: a 16-digit 4-grouped false positive is rare and
+# redaction is the safe direction.
+RE_PII_CC = "\\b[0-9]{4}([ -]?[0-9]{4}){3}\\b"
 
 
 def sql_quote(pattern: str) -> str:

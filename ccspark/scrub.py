@@ -21,6 +21,9 @@ SCRUB_STEPS = (
     ("email", R.RE_PII_EMAIL, "<EMAIL>"),
     ("ssn", R.RE_PII_SSN, "<SSN>"),
     ("ip", R.RE_PII_IP, "<IP>"),
+    # cards BEFORE the generic phone class: a 16-digit grouped card is
+    # also a valid phone match, and <CC> is the more specific redaction
+    ("cc", R.RE_PII_CC, "<CC>"),
     ("phone", R.RE_PII_PHONE, "<PHONE>"),
 )
 

@@ -168,6 +168,9 @@ def test_scrub_each_pii_type(spark):
         Row(doc_id=2, text="server at 192.168.10.250 port open"),
         Row(doc_id=3, text="ssn 123-45-6789 leaked"),
         Row(doc_id=4, text="nothing sensitive here at all"),
+        Row(doc_id=5, text="card 4111 1111 1111 1111 on file"),
+        Row(doc_id=6, text="card 4111-1111-1111-1111 dashed"),
+        Row(doc_id=7, text="order 41111111111111111111 is a 20-digit id"),
     ])
     out = {r.doc_id: r for r in scrub.scrub(df).collect()}
     assert out[0].scrubbed_text == "mail me at <EMAIL> now"
@@ -178,6 +181,14 @@ def test_scrub_each_pii_type(spark):
     assert out[4].n_pii_types == 0
     assert out[0].has_email and not out[0].has_phone
     assert out[3].has_ssn
+    # cards: both groupings redact as <CC> (never the generic <PHONE> -
+    # cc runs first); a longer digit run is NOT a card (\b guards) and
+    # falls through to the generic phone/number class instead
+    assert out[5].scrubbed_text == "card <CC> on file"
+    assert out[6].scrubbed_text == "card <CC> dashed"
+    assert out[5].has_cc and out[6].has_cc
+    assert out[7].scrubbed_text == "order <PHONE> is a 20-digit id"
+    assert not out[7].has_cc
 
 
 def test_scrub_order_ip_not_phone(spark):
