@@ -505,7 +505,18 @@ def q_gopher_repetition(d: str) -> str:
     fr = ("round(coalesce({c}, 0) * 1e0 / greatest(length(p.text), 1), 4)")
     f2, f3, f4 = (fr.format(c=f"t.top{n}_chars") for n in (2, 3, 4))
     f5 = fr.format(c="d.dup5_chars")
-    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} pp),
+    # every fixture page FAILS the panel (the synthesis plants repeated
+    # structural lines on purpose), so rep_keep was only ever False -
+    # inject one all-unique-words page so the keep verdict is graded in
+    # both directions (r4; the pii_scrub injection pattern)
+    diverse = " ".join(
+        f"{a}{b}" for a in "abcdefg" for b in ("x", "y", "z", "w"))
+    return f"""WITH real_pages AS (SELECT * FROM {pages_subquery(d)} pp),
+pages AS (
+  SELECT doc_id, text FROM real_pages
+  UNION ALL
+  SELECT cast(-1 AS bigint) AS doc_id, '{diverse}' AS text
+),
 pw AS (SELECT doc_id, {words} AS w FROM pages),
 grams AS ({union}),
 cnt AS (
@@ -557,13 +568,33 @@ def q_c4_quality(d: str) -> str:
     sents = c4_sentences_expr(d, "text")
     ns = (f"size(filter({sents}, x -> length(x) > 0))" if d == SPARK
           else f"len(list_filter({sents}, x -> length(x) > 0))")
-    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p)
+    # every fixture page passes the C4 page gate (the fixture must stay
+    # junk-free for the other graded queries), so page_keep was only
+    # ever True - inject one synthetic failing page per reject reason
+    # (lorem-ipsum, brace, <5 sentences) so BOTH verdicts are
+    # value-graded (r4; the pii_scrub injection pattern)
+    five = ("First sentence is fine. Second sentence follows. Third one "
+            "too. Fourth sentence present. Fifth clears the bar.")
+    bad = " UNION ALL ".join(
+        f"SELECT cast({i} AS bigint) AS doc_id, "
+        f"'synthetic://c4/{tag}' AS url, '{t}' AS text"
+        for i, (tag, t) in enumerate((
+            ("lorem", five + " But lorem ipsum poisons the page."),
+            ("brace", five + " A stray { brace marks template junk."),
+            ("short", "Too short. Only two sentences."),
+        ), start=-3))
+    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p),
+aug AS (
+  SELECT doc_id, url, text FROM pages
+  UNION ALL
+  {bad}
+)
 SELECT doc_id, url,
        cast({ns} AS bigint) AS n_sentences,
        cast({nl} AS bigint) AS n_lines,
        cast({kept} AS bigint) AS n_lines_kept,
        {c4_page_keep_expr(d, 'text')} AS page_keep
-FROM pages"""
+FROM aug"""
 
 
 def q_c4_span_dedup(d: str, span: int = 3) -> str:

@@ -128,7 +128,8 @@ def test_gopher_repetition_module_matches_sql_twin(spark):
     Q.ensure_views(spark, sf)
     sql = {r.doc_id: (r.top2_frac, r.top3_frac, r.top4_frac, r.dup5_frac,
                       r.rep_keep)
-           for r in spark.sql(Q.q_gopher_repetition(Q.SPARK)).collect()}
+           for r in spark.sql(Q.q_gopher_repetition(Q.SPARK)).collect()
+           if r.doc_id >= 0}   # template injects a rep_keep=True page
     assert mod == sql
 
 
