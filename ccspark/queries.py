@@ -930,7 +930,13 @@ def q_perplexity_outliers(d: str) -> str:
     the score is mean token LOG-LIKELIHOOD (misnamed "Perplexity" there,
     outlier_detection.py:84) so HIGH = too predictable, LOW = too random.  Pure DataFrame ops - the
     per-cell FastText trainer becomes a counting LM, as allowed by
-    north_rule ('n-gram perplexity')."""
+    north_rule ('n-gram perplexity').
+
+    No fixture doc is hyper-repetitive, so the HIGH (too-predictable)
+    verdict never fired in the grade - the template injects one
+    max-likelihood doc (the corpus's ubiquitous word repeated) so all
+    three predictions are value-graded (r4; LOW and IN occur
+    naturally)."""
     words = split_arr(d, "text", " ")
     unnest_w = (
         f"(SELECT doc_id, lang, unnest({words}) AS w FROM pages)"
@@ -938,7 +944,13 @@ def q_perplexity_outliers(d: str) -> str:
         f"(SELECT doc_id, lang, w FROM pages "
         f"LATERAL VIEW explode({words}) t AS w)"
     )
-    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p),
+    rep_doc = " ".join(["the"] * 60)
+    return f"""WITH real_pages AS (SELECT * FROM {pages_subquery(d)} p),
+pages AS (
+  SELECT doc_id, lang, text FROM real_pages
+  UNION ALL
+  SELECT cast(-1 AS bigint) AS doc_id, 'en' AS lang, '{rep_doc}' AS text
+),
 toks AS (SELECT * FROM {unnest_w} u WHERE length(w) > 0),
 vocab AS (
   SELECT w, count(*) AS cnt FROM toks GROUP BY w
@@ -1353,9 +1365,21 @@ FROM per_doc p JOIN ratios r ON p.doc_id = r.doc_id"""
 def q_doc_exact_dedup(d: str) -> str:
     """D1 at document granularity over the raw documents table: exact
     dedup on md5(text) keeping the lowest doc_id, with duplicate-family
-    sizes (the 'duplicate-line filter' generalized to whole docs)."""
-    return """WITH keyed AS (
-  SELECT doc_id, lang, md5(text) AS th FROM documents
+    sizes (the 'duplicate-line filter' generalized to whole docs).
+
+    The fixture's 500 document texts are all distinct, so family_size
+    was only ever 1 and the keep-first choice was never exercised by the
+    grade - the template replays docs 0-4 under high ids (the recrawl
+    shape) so five families of size 2 exist and the survivor choice
+    (lowest id wins) is value-graded (r4)."""
+    return """WITH aug AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, text FROM documents
+  WHERE doc_id < 5
+),
+keyed AS (
+  SELECT doc_id, lang, md5(text) AS th FROM aug
 ),
 fams AS (
   SELECT *, count(*) OVER (PARTITION BY th) AS family_size,
@@ -2135,16 +2159,26 @@ WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.doc_id = n.doc_id)"""
 _INCREMENTAL_DEDUP_ORACLE = _incremental_dedup_oracle()
 
 
+# standalone domain_quality rollup threshold: above the language-
+# blind gate's weakest fixture domain (0.875) so the verdict prunes
+DQ_MIN_KEEP = 0.9
+
+
 def _mq_domain_quality(spark, sf_dir):
     """Domain-level quality rollup (quality.domain_quality over the REAL
     gopher_quality operator): per-domain page counts, gopher keep
     fraction, mean signals, and the wholesale domain verdict - the oracle
-    recomputes the rollup from the shared signal fragments in SQL."""
+    recomputes the rollup from the shared signal fragments in SQL.
+    Threshold DQ_MIN_KEEP (0.9 - the language-BLIND gate this rollup
+    uses is gentler than the domgate's lang-aware one; its weakest
+    fixture domain sits at 0.875) so domain_keep is graded in BOTH
+    directions - at the old 0.5 every domain passed and the verdict was
+    vacuous (r4)."""
     from ccspark import pipeline, quality
     from ccspark.fixtures_sql import pages_spark
     pages = pages_spark(spark, sf_dir)
     geo_pages = pipeline.with_geo(pages)
-    return quality.domain_quality(geo_pages, min_keep_frac=0.5)
+    return quality.domain_quality(geo_pages, min_keep_frac=DQ_MIN_KEEP)
 
 
 def _domain_quality_oracle() -> str:
@@ -2164,7 +2198,7 @@ SELECT domain, cast(count(*) AS bigint) AS n_pages,
              / (count(*) * 10000e0), 4) AS avg_word_len,
        round(sum(cast(round(dlf * 10000) AS bigint)) * 1e0
              / (count(*) * 10000e0), 4) AS avg_dup_line_frac,
-       (round(avg(kept), 4) >= 0.5) AS domain_keep
+       (round(avg(kept), 4) >= {DQ_MIN_KEEP}) AS domain_keep
 FROM sig GROUP BY domain"""
 
 
