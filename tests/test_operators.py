@@ -709,3 +709,32 @@ def test_incremental_near_dups_matches_bruteforce(spark, seed):
     # sanity: the scenario is non-trivial (something dropped, something
     # kept) - the generator mixes replays, mutations and fresh docs
     assert want != set(range(len(new_texts))) and want
+
+
+def test_graded_verdicts_two_sided(spark):
+    """Regression guard for the r4 vacuity audit: a green value-hash
+    proves nothing about a verdict column that only ever takes one
+    value.  Each query below shipped one-sided for three judged rounds
+    (no PII ever redacted, C4 never rejected, the repetition panel never
+    kept, every dedup family a singleton, no domain dropped, HIGH
+    outliers never fired) until counterexamples were injected INSIDE the
+    templates - this pins the two-sidedness at the driver's grading
+    scale so a fixture or threshold change can't silently restore it."""
+    from ccspark import queries as Q
+    from ccspark.sqlgen import SPARK
+
+    sf = "/root/testdata/sf0.01"
+    Q.ensure_views(spark, sf)
+    for name, col, expected in (
+        ("pii_scrub", "was_redacted", {0, 1}),
+        ("c4_quality", "page_keep", {True, False}),
+        ("gopher_repetition", "rep_keep", {True, False}),
+        ("doc_exact_dedup", "family_size", {1, 2}),
+        ("perplexity_outliers", "prediction", {"HIGH", "LOW", "IN"}),
+    ):
+        df = spark.sql(Q.QUERY_BUILDERS[name](SPARK))
+        got = {r[0] for r in df.select(col).distinct().collect()}
+        assert expected <= got, (name, col, got)
+    dq = Q.MODULE_QUERIES["domain_quality"](spark, sf)
+    got = {r[0] for r in dq.select("domain_keep").distinct().collect()}
+    assert got == {True, False}, got
