@@ -209,6 +209,18 @@ def main() -> None:
         timed1("winnow_fingerprints_xxh64",
                lambda: dedup_mod.winnow_fingerprints(
                    docs1, hash_family="xxhash64").count())
+        # cross-crawl near-dup screen at 10x: history = first half of
+        # the replicated corpus as a PERSISTED-shape signature table
+        # (computed once, excluded - that is its production lifecycle),
+        # new crawl = second half; the timed probe reads only signatures
+        hist1 = docs1.where("doc_id % 2 = 0")
+        new1 = docs1.where("doc_id % 2 = 1")
+        hist_sig1 = dedup_mod.minhash_signature_table(hist1).persist()
+        hist_sig1.count()
+        timed1("incremental_near_screen",
+               lambda: dedup_mod.incremental_near_dups(
+                   new1, hist_sig1, threshold=0.9).count())
+        hist_sig1.unpersist()
         # end-to-end semantic dedup at 10x: every vector gets 10 exact
         # copies (cosine 1.0, shared sign bucket), so the pairs stage
         # sees real duplicate multiplicity and CC sees 10-node stars
