@@ -234,6 +234,9 @@ def main() -> None:
         timed1("embedding_dedup_pre_exact",
                lambda: sim_mod.dedup_near_embeddings(
                    emb1, threshold=0.9, pre_exact=True).count())
+        timed1("embedding_dedup_arrow",
+               lambda: sim_mod.dedup_near_embeddings(
+                   emb1, threshold=0.9, engine="arrow").count())
         emb1.unpersist()
         pages1.unpersist()
         docs1.unpersist()

@@ -147,6 +147,14 @@ def test_dedup_near_embeddings(spark):
     pre = {r.vec_id for r in similarity.dedup_near_embeddings(
         many, threshold=0.9, pre_exact=True).collect()}
     assert direct == pre == {0, 3, 4}, (direct, pre)
+    # the per-bucket BLAS kernel: identical pairs and survivors (these
+    # cosines sit nowhere near the round-4 threshold boundary)
+    pa = {(r.vec_a, r.vec_b) for r in similarity.sign_lsh_pairs(
+        e, threshold=0.9, engine="arrow").collect()}
+    assert pa == got
+    arrow = {r.vec_id for r in similarity.dedup_near_embeddings(
+        many, threshold=0.9, engine="arrow").collect()}
+    assert arrow == direct
 
 
 def test_media_meta_sniffs_types(spark):
