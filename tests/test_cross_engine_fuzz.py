@@ -136,3 +136,23 @@ def test_fuzz_decontam_norm_and_grams(spark, duck):
 
     run_both(spark, duck, norm_join,
              synth(TEXT_ATOMS, 250, seed=303, max_parts=12))
+
+
+PII_ATOMS = [
+    "4111", "1111", "5500", "0000", "123", "45", "6789", "555",
+    " ", "-", ".", "", "(", ")", "+1 ", "a", "x@y.co", "user@", "@",
+    "@mail.example.org", "10.0.42.7", "192.168.10.250", "10.0.",
+    "999.999.999.999", "12345678901234567890", "word ", "end",
+    "\n", "--", "  ", "4111-1111", "1111 1111",
+]
+
+
+def test_fuzz_pii_chain(spark, duck):
+    """The ordered email/ssn/ip/cc/phone regexp_replace chain (now a
+    GRADED cross-engine surface via the injected pii_scrub lines) must
+    scrub adversarial digit/dash/space/at soups identically in Java
+    regex and RE2 - \b boundaries, class precedence and replace-all
+    semantics included."""
+    from ccspark.queries import pii_chain
+    run_both(spark, duck, lambda d, e: pii_chain(d, e),
+             synth(PII_ATOMS, 400, seed=777))
