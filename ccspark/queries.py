@@ -1291,20 +1291,42 @@ def q_media_meta(d: str) -> str:
     sniff.  The html wrapper is synthesized identically in both engines
     (pages' html column in parquet is byte-identical - pytest covers the
     true-binary path; this oracle derives the bytes in-query since DuckDB
-    cannot substring blobs)."""
+    cannot substring blobs).
+
+    Every fixture page sniffs 'html', so the non-html arms were never
+    graded - the template injects one payload per ASCII-expressible
+    magic (GIF8, %PDF, RIFF - real container magics that happen to be
+    valid UTF-8, mirroring multimodal.MAGIC) plus an unknown, so the
+    sniff CASE is value-graded across classes (r4).  jpeg/png magics
+    are NOT valid UTF-8 and cannot be derived in-query - those arms
+    stay pytest-covered on true binaries (multimodal.media_meta)."""
     wrapped = "concat('<html><body>', text, '</body></html>')"
     if d == SPARK:
-        size = f"octet_length(encode({wrapped}, 'UTF-8'))"
-        magic = f"upper(hex(encode(substring({wrapped}, 1, 4), 'UTF-8')))"
+        size = "octet_length(encode(payload, 'UTF-8'))"
+        magic = "upper(hex(encode(substring(payload, 1, 4), 'UTF-8')))"
     else:
-        size = f"octet_length(encode({wrapped}))"
-        magic = f"upper(hex(encode(substring({wrapped}, 1, 4))))"
-    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p)
+        size = "octet_length(encode(payload))"
+        magic = "upper(hex(encode(substring(payload, 1, 4))))"
+    inject = " UNION ALL ".join(
+        f"SELECT cast({i} AS bigint) AS doc_id, '{p}' AS payload"
+        for i, p in ((-1, "GIF89a synthetic tiny gif"),
+                     (-2, "%PDF-1.4 synthetic document"),
+                     (-3, "RIFF....WAVEfmt synthetic audio"),
+                     (-4, "PK zip-ish bytes sniff nothing")))
+    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p),
+media AS (
+  SELECT doc_id, {wrapped} AS payload FROM pages
+  UNION ALL
+  {inject}
+)
 SELECT doc_id, {size} AS size_bytes, {magic} AS magic_hex,
        CASE WHEN {magic} IN ('3C68746D', '3C21444F') THEN 'html'
             WHEN {magic} = 'FFD8FFE0' THEN 'jpeg'
+            WHEN {magic} = '47494638' THEN 'gif'
+            WHEN {magic} = '25504446' THEN 'pdf'
+            WHEN {magic} = '52494646' THEN 'riff'
             ELSE 'unknown' END AS media_type
-FROM pages"""
+FROM media"""
 
 
 def q_metrics_rollup(d: str) -> str:

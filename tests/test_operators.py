@@ -731,6 +731,8 @@ def test_graded_verdicts_two_sided(spark):
         ("gopher_repetition", "rep_keep", {True, False}),
         ("doc_exact_dedup", "family_size", {1, 2}),
         ("perplexity_outliers", "prediction", {"HIGH", "LOW", "IN"}),
+        ("media_meta", "media_type",
+         {"html", "gif", "pdf", "riff", "unknown"}),
     ):
         df = spark.sql(Q.QUERY_BUILDERS[name](SPARK))
         got = {r[0] for r in df.select(col).distinct().collect()}
