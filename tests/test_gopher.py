@@ -104,9 +104,12 @@ def test_c4_span_dedup_module_matches_sql_twin(spark):
     mod = {(r.doc_id, r.span_idx, r.span_hash): r.keep
            for r in quality.c4_span_dedup(pages).collect()}
     Q.ensure_views(spark, sf)
-    # module posexplode is 0-based; the SQL template is 1-based
+    # module posexplode is 0-based; the SQL template is 1-based; the
+    # template also replays docs 0-1 under high ids (drop-side grading)
+    # - replays sort last so real docs' keepers are unchanged
     sql = {(r.doc_id, r.span_idx - 1, r.span_hash): r.keep
-           for r in spark.sql(Q.q_c4_span_dedup(Q.SPARK)).collect()}
+           for r in spark.sql(Q.q_c4_span_dedup(Q.SPARK)).collect()
+           if r.doc_id < 1000000}
     assert mod == sql
     # exactly one keeper per hash, and it is the (doc_id, span_idx) min
     by_hash = {}

@@ -733,6 +733,7 @@ def test_graded_verdicts_two_sided(spark):
         ("perplexity_outliers", "prediction", {"HIGH", "LOW", "IN"}),
         ("media_meta", "media_type",
          {"html", "gif", "pdf", "riff", "unknown"}),
+        ("c4_span_dedup", "keep", {True, False}),
     ):
         df = spark.sql(Q.QUERY_BUILDERS[name](SPARK))
         got = {r[0] for r in df.select(col).distinct().collect()}
