@@ -381,9 +381,13 @@ class CCSparkCorpus:
         xxhash64 text hashes) and/or NEARLY (minhash screen vs
         *history_sig*, a ``dedup.minhash_signature_table`` output or its
         pre-banded bucketed form).  History is consumed as hashes and
-        ~100 B/doc signatures only - its text is never re-read.  Dedup
-        WITHIN the crawl is ``dedup_near``'s job, run after.
-        Driver-graded as query ``incremental_dedup``."""
+        ~100 B/doc signatures only - its text is never re-read.  The
+        near screen's k/bands/hash_family must match the parameters the
+        history signatures were built with - tables written by
+        ``minhash_signature_table``/``banded_signatures`` carry them as
+        column metadata and a mismatch raises (dedup.incremental_near_dups
+        validates).  Dedup WITHIN the crawl is ``dedup_near``'s job, run
+        after.  Driver-graded as query ``incremental_dedup``."""
         from pyspark.sql import functions as F
 
         from ccspark import dedup

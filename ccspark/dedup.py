@@ -320,15 +320,20 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text", k: int = 3,
                 digs.append(F.xxhash64(*[F.col(c) for c in cols]))
             else:
                 digs.append(F.md5(F.concat_ws(",", *cols)))
+    # posexplode so the band INDEX rides along: candidates must agree on
+    # (band, digest), not digest alone - a cross-band digest coincidence
+    # (doc A's band-i tuple hashing like doc B's band-j tuple) must not
+    # pair, matching lsh_candidate_pairs and the graded oracle's
+    # a.band = b.band AND a.digest = b.digest.
     dg = sig.select(id_col, *mcols,
-                    F.explode(F.array(*digs)).alias("digest"))
+                    F.posexplode(F.array(*digs)).alias("band", "digest"))
     a, b = dg.alias("a"), dg.alias("b")
     agree = None
     for c in mcols:
         t = (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int")
         agree = t if agree is None else agree + t
     pairs = (
-        a.join(b, "digest")
+        a.join(b, ["band", "digest"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("doc_a"),
                 F.col(f"b.{id_col}").alias("doc_b"),
@@ -476,15 +481,22 @@ def jaccard_on_candidates(docs: DataFrame, pairs: DataFrame,
                       F.col("_n").alias("_na"))
     nb = sizes.select(F.col(id_col).alias("doc_b"),
                       F.col("_n").alias("_nb"))
+    # sizes joins are LEFT joins with coalesce-to-0: this is a public
+    # verification API accepting arbitrary pairs, and a doc producing no
+    # shingles (empty text in the xxhash64 family, or shorter than k
+    # words) must yield jaccard 0.0, not a silently dropped pair.  The
+    # 0/0 case (both docs shingle-less) is guarded explicitly - Spark 4
+    # ANSI mode raises on it.
+    common = F.coalesce(F.col("_common"), F.lit(0))
+    union_n = (F.coalesce(F.col("_na"), F.lit(0))
+               + F.coalesce(F.col("_nb"), F.lit(0)) - common)
     return (
         pairs.select("doc_a", "doc_b")
         .join(inter, ["doc_a", "doc_b"], "left")
-        .join(na, "doc_a").join(nb, "doc_b")
+        .join(na, "doc_a", "left").join(nb, "doc_b", "left")
         .select("doc_a", "doc_b",
-                (F.coalesce(F.col("_common"), F.lit(0))
-                 / (F.col("_na") + F.col("_nb")
-                    - F.coalesce(F.col("_common"), F.lit(0))))
-                .alias("jaccard"))
+                F.when(union_n > 0, common / union_n)
+                .otherwise(F.lit(0.0)).alias("jaccard"))
     )
 
 
@@ -661,7 +673,14 @@ def minhash_signature_table(docs: DataFrame, text_col: str = "text",
     sh = (shingle_hashes(docs, text_col, k, id_col)
           if hash_family == "xxhash64"
           else shingles(docs, text_col, k, id_col))
-    return minhash_signatures(sh, num_hashes, id_col, hash_family)
+    sig = minhash_signatures(sh, num_hashes, id_col, hash_family)
+    # Stamp the build parameters into m0's column METADATA (Spark
+    # persists StructField metadata through parquet / saveAsTable), so
+    # a later crawl probing this table can detect a k / num_hashes /
+    # hash_family mismatch instead of silently matching nothing.
+    return sig.withColumn("m0", F.col("m0").alias("m0", metadata={
+        "ccspark_k": k, "ccspark_num_hashes": num_hashes,
+        "ccspark_hash_family": hash_family}))
 
 
 def banded_signatures(sig: DataFrame, bands: int = 4,
@@ -684,8 +703,34 @@ def banded_signatures(sig: DataFrame, bands: int = 4,
                 digs.append(F.xxhash64(*[F.col(c) for c in cols]))
             else:
                 digs.append(F.md5(F.concat_ws(",", *cols)))
-    return sig.select(id_col, *mcols,
-                      F.explode(F.array(*digs)).alias("digest"))
+    # Carry the signature table's build metadata forward and add the
+    # banding parameters, stamped on the digest column - the persisted
+    # cross-crawl layout is self-describing so a probe with different
+    # bands/hash_family fails loudly (incremental_near_dups validates).
+    meta = dict(_sig_meta(sig))
+    meta.update({"ccspark_bands": bands, "ccspark_hash_family": hash_family,
+                 "ccspark_num_hashes": len(mcols)})
+    out = sig.select(id_col, *mcols,
+                     F.explode(F.array(*digs)).alias("digest"))
+    # metadata must be stamped on a plain attribute - an alias directly
+    # on the generator expression loses it
+    return out.withColumn("digest",
+                          F.col("digest").alias("digest", metadata=meta))
+
+
+def _sig_meta(df: DataFrame) -> dict:
+    """Build-parameter metadata stamped by minhash_signature_table /
+    banded_signatures (keys ccspark_k / ccspark_num_hashes /
+    ccspark_hash_family / ccspark_bands), read off the m0 or digest
+    StructField.  Empty for tables built by other means - validation is
+    then best-effort."""
+    out = {}
+    for f in df.schema.fields:
+        if f.name in ("m0", "digest") and f.metadata:
+            for key, v in f.metadata.items():
+                if key.startswith("ccspark_"):
+                    out[key] = v
+    return out
 
 
 def _sig_cols(sig: DataFrame) -> list:
@@ -713,8 +758,35 @@ def incremental_near_dups(new_docs: DataFrame, history_sig: DataFrame,
     bucketed on digest (catalog.save_bucketed) the probe reads it
     pre-shuffled and only the new crawl's digest stream moves.  Dedup
     WITHIN the new crawl itself is ``dedup_near``'s job, run separately
-    - composing screen-then-self keeps each stage's state bounded."""
+    - composing screen-then-self keeps each stage's state bounded.
+
+    The probe parameters MUST match the ones the history table was
+    built/banded with - digests are opaque, so a mismatch (e.g. a
+    pre-banded history written with bands=6 probed with bands=4) would
+    silently match nothing.  History tables written by
+    ``minhash_signature_table`` / ``banded_signatures`` carry their
+    build parameters as column metadata (persisted through parquet);
+    any stamped parameter that disagrees with the caller's raises
+    ValueError here.  Unstamped (externally built) tables fall back to
+    the structural check: num_hashes is inferred from the m-columns and
+    must be >= *bands*."""
     mcols = _sig_cols(history_sig)
+    if not mcols:
+        raise ValueError("history_sig has no m<i> signature columns")
+    if len(mcols) < bands:
+        raise ValueError(
+            f"history_sig carries {len(mcols)} hashes but bands={bands}: "
+            "every band needs at least one hash")
+    stamped = _sig_meta(history_sig)
+    for key, ours in (("ccspark_k", k), ("ccspark_bands", bands),
+                      ("ccspark_hash_family", hash_family),
+                      ("ccspark_num_hashes", len(mcols))):
+        theirs = stamped.get(key)
+        if theirs is not None and theirs != ours:
+            raise ValueError(
+                f"history_sig was built with {key[8:]}={theirs!r} but the "
+                f"probe passed {key[8:]}={ours!r} - matches would be "
+                "silently empty/wrong")
     sig_new = minhash_signature_table(new_docs, text_col, k, len(mcols),
                                       id_col, hash_family)
     a = banded_signatures(sig_new, bands, id_col,

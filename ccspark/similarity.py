@@ -98,7 +98,11 @@ def sign_lsh_pairs(table: DataFrame, threshold: float = 0.9,
          .withColumn("_v", F.expr(f"cast({vec_col} as array<double>)"))
          .withColumn("_n", F.expr(
              "sqrt(aggregate(transform(_v, x -> x * x), "
-             "cast(0.0 as double), (acc, v) -> acc + v))")))
+             "cast(0.0 as double), (acc, v) -> acc + v))"))
+         # zero-norm vectors never pair (cosine undefined; under Spark 4
+         # ANSI mode 0.0/0.0 RAISES, it does not yield NULL) - same
+         # exclusion the arrow kernel applies via norms->inf->cos 0.
+         .where(F.col("_n") > 0))
     dot = F.expr("aggregate(zip_with(a._v, b._v, (x, y) -> x * y), "
                  "cast(0.0 as double), (acc, v) -> acc + v)")
     cos = F.round(dot / (F.col("a._n") * F.col("b._n")), 4)
@@ -116,8 +120,9 @@ def _sign_lsh_pairs_arrow(bucketed: DataFrame, threshold: float,
                           id_col: str, vec_col: str) -> DataFrame:
     """Whole-bucket vectorized pair kernel: one normalized matmul per
     sign bucket (upper triangle, ids ascending so vec_a < vec_b).
-    Zero-norm vectors never pair (the exact path's NULL-cosine rows are
-    filtered the same way).  Each bucket must fit one task - with 8 sign
+    Zero-norm vectors never pair (norm forced to inf so their cosine is
+    0; the exact path excludes them with a pre-join _n > 0 filter -
+    same observable behavior).  Each bucket must fit one task - with 8 sign
     bits that is table_size/256 expected rows; widen the bit count as
     the table grows (same knob that bounds the exact path's join)."""
     import numpy as np
@@ -168,9 +173,10 @@ def dedup_near_embeddings(table: DataFrame, threshold: float = 0.9,
     direct-path survivors are exactly the surviving representatives
     (asserted in tests at 10x copy multiplicity).  One deliberate edge
     divergence: copies of an all-zero vector (norm 0, cosine undefined,
-    so the direct path sees no edge and keeps every copy) are still
-    collapsed to one - exact byte copies are duplicates regardless of
-    whether cosine is defined."""
+    so BOTH pair engines exclude them from pairing - exact via the
+    pre-join _n > 0 filter, arrow via norm->inf - and the direct path
+    keeps every copy) are still collapsed to one - exact byte copies
+    are duplicates regardless of whether cosine is defined."""
     from ccspark import dedup
     if pre_exact:
         groups = (table

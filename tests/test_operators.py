@@ -741,3 +741,69 @@ def test_graded_verdicts_two_sided(spark):
     dq = Q.MODULE_QUERIES["domain_quality"](spark, sf)
     got = {r[0] for r in dq.select("domain_keep").distinct().collect()}
     assert got == {True, False}, got
+
+
+def test_jaccard_on_candidates_shingleless_docs(spark):
+    """r4 advice: jaccard_on_candidates is a public verification API
+    accepting ARBITRARY pairs - a pair where either doc produces no
+    shingles (empty text in both hash families) must come back at 0.0
+    rather than be silently dropped by an inner size-join, and the
+    both-shingleless pair must not trip ANSI DIVIDE_BY_ZERO."""
+    from ccspark import dedup
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the deep green forest before nightfall today")
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=""),           # no shingles in either family
+        Row(doc_id=2, text=""),
+    ])
+    cand = spark.createDataFrame(
+        [Row(doc_a=0, doc_b=1), Row(doc_a=1, doc_b=2)])
+    for fam in ("md5", "xxhash64"):
+        got = {(r.doc_a, r.doc_b): r.jaccard
+               for r in dedup.jaccard_on_candidates(
+                   docs, cand, hash_family=fam).collect()}
+        assert got == {(0, 1): 0.0, (1, 2): 0.0}, (fam, got)
+
+
+def test_incremental_near_dups_param_mismatch_raises(spark):
+    """r4 advice: the cross-crawl screen silently trusted the caller to
+    probe with the same k/bands/hash_family the history signatures were
+    built with - a mismatch matched nothing.  Build parameters are now
+    stamped as column METADATA (persisted through parquet) and a
+    mismatched probe raises instead of returning a silently-wrong set."""
+    import tempfile
+
+    from ccspark import dedup
+    hist = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{i}x{j}" for j in range(40)))
+         for i in range(5)])
+    new = hist.limit(2).select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text")
+    sig = dedup.minhash_signature_table(hist)        # k=3, 12, xxhash64
+    banded = dedup.banded_signatures(sig, bands=6)   # bands stamped: 6
+    with tempfile.TemporaryDirectory() as d:
+        sig.write.parquet(f"{d}/sig")
+        banded.write.parquet(f"{d}/banded")
+        sig_rt = spark.read.parquet(f"{d}/sig")
+        banded_rt = spark.read.parquet(f"{d}/banded")
+        # metadata survives the parquet round-trip
+        assert dedup._sig_meta(sig_rt)["ccspark_k"] == 3
+        assert dedup._sig_meta(banded_rt)["ccspark_bands"] == 6
+        for bad in (dict(k=4), dict(hash_family="md5")):
+            with pytest.raises(ValueError):
+                dedup.incremental_near_dups(new, sig_rt, **bad)
+        with pytest.raises(ValueError):   # pre-banded 6 probed with 4
+            dedup.incremental_near_dups(new, banded_rt, bands=4)
+        # matching parameters still work on both persisted layouts
+        assert {r.doc_id for r in dedup.incremental_near_dups(
+            new, sig_rt).collect()} == set()
+        assert {r.doc_id for r in dedup.incremental_near_dups(
+            new, banded_rt, bands=6).collect()} == set()
+    # structural fallback for UNSTAMPED (externally built) tables:
+    # more bands than hashes is always wrong
+    bare = spark.createDataFrame(
+        [Row(doc_id=0, m0=1, m1=2)], "doc_id bigint, m0 bigint, m1 bigint")
+    assert dedup._sig_meta(bare) == {}
+    with pytest.raises(ValueError):
+        dedup.incremental_near_dups(new, bare, bands=4)

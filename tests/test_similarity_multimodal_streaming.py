@@ -436,3 +436,32 @@ def test_stream_screen_new_crawl_matches_batch(spark, tmp_path):
             .withColumn("hash", F.xxhash64("text")), hashes).drop("hash"),
         sig, threshold=0.9)
     assert got == {r.doc_id for r in batch.collect()} == {102, 103}
+
+
+def test_sign_lsh_zero_norm_vectors_both_engines(spark):
+    """r4 advice: Spark 4 runs ANSI mode, so 0.0/0.0 RAISES - a
+    zero-norm embedding sharing a bucket used to crash the exact
+    engine's cosine.  An all-zero vector lands in the all-'1' sign
+    bucket (every element >= 0), i.e. the SAME bucket as an
+    all-positive vector - the collision is guaranteed here, not
+    hypothetical.  Both engines must exclude zero-norm vectors from
+    pairing; dedup keeps every zero copy on the direct path and
+    collapses them under pre_exact (exact byte copies)."""
+    base = [1.0] * 64
+    rows = [
+        Row(vec_id=0, embedding=base),
+        Row(vec_id=1, embedding=[2.0 * x for x in base]),
+        Row(vec_id=2, embedding=[0.0] * 64),       # same bucket as 0/1
+        Row(vec_id=3, embedding=[0.0] * 64),
+    ]
+    e = spark.createDataFrame(rows)
+    for engine in ("exact", "arrow"):
+        got = {(r.vec_a, r.vec_b) for r in similarity.sign_lsh_pairs(
+            e, threshold=0.9, engine=engine).collect()}
+        assert got == {(0, 1)}, engine
+        kept = {r.vec_id for r in similarity.dedup_near_embeddings(
+            e, threshold=0.9, engine=engine).collect()}
+        assert kept == {0, 2, 3}, engine            # zero copies survive
+        pre = {r.vec_id for r in similarity.dedup_near_embeddings(
+            e, threshold=0.9, engine=engine, pre_exact=True).collect()}
+        assert pre == {0, 2}, engine                # byte copies collapse
