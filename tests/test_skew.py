@@ -44,3 +44,36 @@ def test_chunker_with_domain_cap(spark):
     out = chunker.domain_samples(df, chunksize=10, max_rows_per_domain=30)
     mega_words = sum(r.n_words for r in out.collect() if r.domain == "mega")
     assert mega_words == 60            # 30 capped rows x 2 words each
+
+def test_cap_per_key_two_phase_matches_window_anchor(spark):
+    """The salted two-phase top-k must select BIT-IDENTICAL rows to the
+    one-window parity anchor (selection is by the total order
+    (md5(url), url), so phase 1 can never evict a final survivor) -
+    across salt counts, including salt_n=1 (degenerate: both phases
+    the full window) and limits near the group sizes."""
+    df = skewed_df(spark)
+    for limit in (1, 19, 20, 50, 400, 1000):
+        want = sorted((r.domain, r.url) for r in
+                      skew.cap_per_key_window(df, "domain", limit).collect())
+        for salt_n in (1, 4, 16, 64):
+            got = sorted((r.domain, r.url) for r in
+                         skew.cap_per_key(df, "domain", limit,
+                                          salt_n=salt_n).collect())
+            assert got == want, (limit, salt_n)
+
+
+def test_cap_per_key_no_full_key_window_on_input(spark):
+    """Plan shape: the window that touches the FULL input partitions by
+    (key, _salt) - only the bounded phase-2 candidate set (<=
+    limit*salt_n rows per key) flows into a window keyed on the bare
+    key.  Plans read top-down, so the LAST Window node in the string is
+    the bottom-most (phase 1)."""
+    import re
+    df = skewed_df(spark)
+    plan = (skew.cap_per_key(df, "domain", 50)
+            ._jdf.queryExecution().executedPlan().toString())
+    wins = re.findall(r"Window \[.*?windowspecdefinition\(([^)]*)\)",
+                      plan)
+    assert len(wins) == 2, plan
+    assert "_salt" not in wins[0]          # phase 2: bare key
+    assert "_salt" in wins[1], wins        # phase 1: salted
