@@ -339,18 +339,24 @@ class CCSparkCorpus:
                                        z_cut=z_cut, min_words=min_words)
 
     def decontaminate(self, docs: DataFrame, benchmark: DataFrame,
-                      n: int = 13, remove: bool = True,
-                      text_col: str = "text",
+                      n: int = 13, char_n: int | None = 20,
+                      remove: bool = True, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
         """Benchmark decontamination (ccspark.decontam): drop (or flag,
         ``remove=False``) documents sharing any normalized word *n*-gram
-        with the *benchmark* eval set.  Corpus-shuffle-free: the
-        benchmark's gram hashes broadcast, only matching rows aggregate.
-        Driver-graded as query ``decontamination``."""
+        OR char *char_n*-gram with the *benchmark* eval set.  The char
+        branch defaults ON here: the geo gate actively admits zh/ja/ko
+        pages, which produce no word 13-grams at all - word-only
+        screening would leave the crawl's largest non-Latin languages
+        unprotected (pass ``char_n=None`` for word-only).  Corpus-
+        shuffle-free: the benchmark's gram hashes broadcast, only
+        matching rows aggregate.  Driver-graded as query
+        ``decontamination`` (word + char tag-union)."""
         from ccspark import decontam
         fn = decontam.remove_contaminated if remove else \
             decontam.decontaminate
-        return fn(docs, benchmark, n=n, id_col=id_col, text_col=text_col)
+        return fn(docs, benchmark, n=n, char_n=char_n, id_col=id_col,
+                  text_col=text_col)
 
     def dedup_near(self, docs: DataFrame, threshold: float = 0.5,
                    pre_exact: bool = True, verify_exact: bool = False,

@@ -1828,6 +1828,15 @@ DECON_N = 13
 DECON_BENCH_MOD = 29
 _DECON_CONTROL = " ".join(f"zzdecon{i}" for i in range(DECON_N))
 
+# char-gram branch (space-free-script protection, r5): every 31st doc
+# with a long-enough normalized char stream contributes chars 8..27 as
+# one 20-char "eval prompt" - contaminated by construction - plus a
+# control that can never match.  20 chars ~ a 13-word span at CJK
+# information density (decontam.DEFAULT_CHAR_N).
+DECON_CHAR_N = 20
+DECON_CHAR_BENCH_MOD = 31
+_DECON_CHAR_CONTROL = "zqxjv" * 4          # exactly 20 normalized chars
+
 
 def _decon_bench_sql(d: str) -> str:
     """Benchmark relation (one column ``text``) - rendered identically
@@ -1846,36 +1855,71 @@ def _decon_bench_sql(d: str) -> str:
 ) b"""
 
 
+def _decon_char_bench_sql(d: str) -> str:
+    """Char-gram benchmark relation (one column ``text``) - rendered
+    identically for the Spark module side and the DuckDB oracle side.
+    Prompts are exactly DECON_CHAR_N normalized chars, so a prompt's
+    char-gram set is the prompt itself (the word branch's 13-word
+    prompts have the same property)."""
+    from ccspark import decontam as DC
+    cs = DC.char_stream(d, "text")
+    lo = 8
+    return f"""SELECT DISTINCT gram AS text FROM (
+  SELECT substring({cs}, {lo}, {DECON_CHAR_N}) AS gram FROM documents
+  WHERE doc_id % {DECON_CHAR_BENCH_MOD} = 0
+    AND length({cs}) >= {lo + DECON_CHAR_N - 1}
+  UNION ALL SELECT '{_DECON_CHAR_CONTROL}'
+) b"""
+
+
 def q_decontamination(d: str) -> str:
-    """Benchmark decontamination as ONE dual-dialect statement: per doc,
-    is any normalized word 13-gram shared with the benchmark set, and how
-    many distinct benchmark grams hit (GPT-3 appendix C / C4 / FineWeb
-    hygiene rule).  The DuckDB rendering is the driver oracle - it
-    matches gram STRINGS, while the production module path
+    """Benchmark decontamination as ONE dual-dialect tag-union: branch
+    'word' = normalized word 13-gram overlap (GPT-3 appendix C / C4 /
+    FineWeb hygiene rule); branch 'char' = normalized char 20-gram
+    overlap (decontam.decontaminate_chars - the protection space-free
+    scripts get, since CJK text normalizes to one word token and yields
+    no word 13-grams; r5).  The DuckDB rendering is the driver oracle -
+    it matches gram STRINGS, while the production module path
     (_mq_decontamination, the graded Spark side) matches xxhash64 hashes
-    of the same grams: a green value-hash proves the broadcast-hash fast
-    path implements exactly the string-overlap semantics.  The Spark
-    rendering of THIS template is the pytest parity anchor
-    (tests/test_decontam.py asserts module == SQL)."""
+    of the same grams: a green value-hash proves both broadcast-hash
+    fast paths implement exactly the string-overlap semantics.  The
+    Spark rendering of THIS template is the pytest parity anchor
+    (tests/test_decontam.py asserts module == SQL, both branches)."""
     from ccspark import decontam as DC
     w = DC.norm_words(d, "text")
     grams = DC.gram_array(d, "w", DECON_N)
+    cgrams = DC.char_gram_array(d, "cs", DECON_CHAR_N)
     if d == SPARK:
         ex = (f"SELECT doc_id, gram FROM docs "
               f"LATERAL VIEW explode({grams}) t AS gram")
+        cex = (f"SELECT doc_id, gram FROM cdocs "
+               f"LATERAL VIEW explode({cgrams}) t AS gram")
     else:
         ex = f"SELECT doc_id, unnest({grams}) AS gram FROM docs"
+        cex = f"SELECT doc_id, unnest({cgrams}) AS gram FROM cdocs"
     return f"""WITH docs AS (SELECT doc_id, {w} AS w FROM documents),
+cdocs AS (SELECT doc_id, {DC.char_stream(d, 'text')} AS cs FROM documents),
 bench AS ({_decon_bench_sql(d)}),
+cbench AS ({_decon_char_bench_sql(d)}),
 doc_grams AS (SELECT DISTINCT doc_id, gram FROM ({ex}) g),
+cdoc_grams AS (SELECT DISTINCT doc_id, gram FROM ({cex}) g),
 hits AS (
   SELECT dg.doc_id, cast(count(*) AS bigint) AS n_hits
   FROM doc_grams dg JOIN bench b ON b.text = dg.gram
   GROUP BY dg.doc_id
+),
+chits AS (
+  SELECT dg.doc_id, cast(count(*) AS bigint) AS n_hits
+  FROM cdoc_grams dg JOIN cbench b ON b.text = dg.gram
+  GROUP BY dg.doc_id
 )
-SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated,
+SELECT 'word' AS tag, d.doc_id, (h.doc_id IS NOT NULL) AS contaminated,
        cast(coalesce(h.n_hits, 0) AS bigint) AS n_hits
-FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id"""
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+UNION ALL
+SELECT 'char' AS tag, d.doc_id, (h.doc_id IS NOT NULL) AS contaminated,
+       cast(coalesce(h.n_hits, 0) AS bigint) AS n_hits
+FROM documents d LEFT JOIN chits h ON h.doc_id = d.doc_id"""
 
 
 def _mq_decontamination(spark, sf_dir):
@@ -1891,8 +1935,15 @@ def _mq_decontamination(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.createOrReplaceTempView("documents")
     bench = spark.sql(_decon_bench_sql(SPARK))
-    out = DC.decontaminate(docs.select("doc_id", "text"), bench, n=DECON_N)
-    return out.select("doc_id", "contaminated", F.col("n_hits"))
+    cbench = spark.sql(_decon_char_bench_sql(SPARK))
+    d2 = docs.select("doc_id", "text")
+    word = (DC.decontaminate(d2, bench, n=DECON_N)
+            .select(F.lit("word").alias("tag"), "doc_id", "contaminated",
+                    F.col("n_hits")))
+    chars = (DC.decontaminate_chars(d2, cbench, n=DECON_CHAR_N)
+             .select(F.lit("char").alias("tag"), "doc_id", "contaminated",
+                     F.col("n_char_hits").alias("n_hits")))
+    return word.unionByName(chars)
 
 
 # ==========================================================================

@@ -12,7 +12,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from ccspark import decontam
-from ccspark.queries import DECON_N, _decon_bench_sql, q_decontamination
+from ccspark.queries import (DECON_CHAR_N, DECON_N, _decon_bench_sql,
+                             _decon_char_bench_sql, q_decontamination)
 from ccspark.sqlgen import SPARK
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -89,19 +90,28 @@ def test_gram_array_degenerate(spark):
 
 
 def test_module_matches_sql_template(spark):
-    """The production xxhash64 broadcast path must equal the pure-SQL
-    string-overlap rendering of the SAME template on the driver fixture
-    (the DuckDB rendering of which is the graded oracle)."""
+    """Both production xxhash64 broadcast paths (word + char branch)
+    must equal the pure-SQL string-overlap rendering of the SAME
+    tag-union template on the driver fixture (the DuckDB rendering of
+    which is the graded oracle)."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     docs.createOrReplaceTempView("documents")
-    sql_out = {r["doc_id"]: (r["contaminated"], r["n_hits"])
+    sql_out = {(r["tag"], r["doc_id"]): (r["contaminated"], r["n_hits"])
                for r in spark.sql(q_decontamination(SPARK)).collect()}
-    bench_df = spark.sql(_decon_bench_sql(SPARK))
-    mod = decontam.decontaminate(docs.select("doc_id", "text"), bench_df)
-    mod_out = {r["doc_id"]: (r["contaminated"], r["n_hits"])
-               for r in mod.collect()}
+    d2 = docs.select("doc_id", "text")
+    word = decontam.decontaminate(d2, spark.sql(_decon_bench_sql(SPARK)))
+    chars = decontam.decontaminate_chars(
+        d2, spark.sql(_decon_char_bench_sql(SPARK)), n=DECON_CHAR_N)
+    mod_out = {("word", r["doc_id"]): (r["contaminated"], r["n_hits"])
+               for r in word.collect()}
+    mod_out.update({("char", r["doc_id"]): (r["contaminated"],
+                                            r["n_char_hits"])
+                    for r in chars.collect()})
     assert mod_out == sql_out
-    assert any(v[0] for v in mod_out.values())  # fixture really plants hits
+    # both branches really plant hits AND leave clean docs (vacuity rule)
+    for tag in ("word", "char"):
+        verdicts = {v[0] for (t, _), v in mod_out.items() if t == tag}
+        assert verdicts == {True, False}, tag
 
 
 def test_plan_is_corpus_shuffle_free(corpus, bench):
@@ -115,5 +125,89 @@ def test_plan_is_corpus_shuffle_free(corpus, bench):
     # join without an Exchange: every hashpartitioning exchange in the
     # plan belongs to the post-join hit aggregation
     import re
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "gh" in ex or "doc_id" in ex
+
+
+# -- char-n-gram branch (space-free scripts) --------------------------------
+
+# a 30-char Chinese "benchmark passage" (every char distinct-ish) plus
+# unrelated CJK and Latin material
+_ZH_EVAL = "春江潮水连海平海上明月共潮生滟滟随波千万里何处春江无月明"
+_JA_EVAL = "吾輩は猫である名前はまだ無い どこで生れたかとんと見当がつかぬ"
+
+
+def test_word_grams_blind_to_cjk_char_grams_catch(spark):
+    """The documented CJK gap, now closed: a zh/ja doc containing a
+    benchmark passage verbatim produces NO normalized word 13-grams
+    (space-free text collapses to one token), so the word operator
+    misses it - decontaminate_chars catches both, leaves clean CJK and
+    Latin docs alone, and the combined decontaminate(char_n=...) flags
+    word-hits and char-hits together."""
+    docs = spark.createDataFrame([
+        (0, "前置きの文章 " + _ZH_EVAL + " 後書きの文章"),   # planted zh
+        (1, _JA_EVAL + " 追加のテキストがここにあります"),    # planted ja
+        (2, "全く関係のない中国語や日本語のテキストです漢字仮名交じり文"),
+        (3, "a clean latin document with plenty of words to spare here"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([(_ZH_EVAL,), (_JA_EVAL,)],
+                                  "text string")
+    # word operator: blind to all of it (no 13 space-separated tokens)
+    w = {r["doc_id"]: r["contaminated"]
+         for r in decontam.decontaminate(docs, bench).collect()}
+    assert w == {0: False, 1: False, 2: False, 3: False}
+    # char operator: catches exactly the planted docs
+    c = {r["doc_id"]: (r["contaminated"], r["n_char_hits"] > 0)
+         for r in decontam.decontaminate_chars(docs, bench).collect()}
+    assert {k: v[0] for k, v in c.items()} == {0: True, 1: True,
+                                               2: False, 3: False}
+    # combined form: contaminated = word OR char, filtering form drops
+    # the planted docs only
+    both = {r["doc_id"]: r["contaminated"]
+            for r in decontam.decontaminate(
+                docs, bench, char_n=20).collect()}
+    assert both == {0: True, 1: True, 2: False, 3: False}
+    kept = decontam.remove_contaminated(docs, bench, char_n=20)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+    assert kept.columns == docs.columns
+
+
+def test_char_gram_normalization_mangling(spark):
+    """Punctuation/case mangling must not hide a char-gram overlap: the
+    normalized char stream strips non-alphanumerics entirely, so a
+    passage chopped by punctuation still lines up."""
+    mangled = "春江潮水、连海平！海上明月…共潮生（滟滟随波）千万里,何处春江无月明"
+    docs = spark.createDataFrame([(0, mangled), (1, "別の綺麗な文書です")],
+                                 "doc_id long, text string")
+    bench = spark.createDataFrame([(_ZH_EVAL,)], "text string")
+    got = {r["doc_id"]: r["contaminated"]
+           for r in decontam.decontaminate_chars(docs, bench).collect()}
+    assert got == {0: True, 1: False}
+
+
+def test_char_gram_array_degenerate(spark):
+    """Streams shorter than n chars yield an empty gram set; exactly n
+    chars yield one gram (cross-dialect length/substring semantics are
+    code-point based, asserted on multibyte text)."""
+    df = spark.createDataFrame(
+        [(_ZH_EVAL,), ("短い",), ("",), ("0123456789abcdefghij",)],
+        "text string")
+    n_stream = len(_ZH_EVAL.replace(" ", ""))
+    got = [r["n"] for r in df.select(F.expr(
+        f"size({decontam.char_gram_array(SPARK, decontam.char_stream(SPARK, 'text'), 20)})"
+    ).alias("n")).collect()]
+    assert got == [n_stream - 20 + 1, 0, 0, 1]
+
+
+def test_char_plan_is_corpus_shuffle_free(spark):
+    """The char branch rides the same broadcast skeleton: both joins
+    broadcast, no SortMergeJoin, exchanges only on matched-row aggs."""
+    import re
+    docs = spark.createDataFrame([(0, _ZH_EVAL)], "doc_id long, text string")
+    bench = spark.createDataFrame([(_ZH_EVAL,)], "text string")
+    plan = decontam.decontaminate_chars(
+        docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
     for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "gh" in ex or "doc_id" in ex
