@@ -138,6 +138,36 @@ SECOND_LEVEL = {
            "info", "int", "mil", "museum", "name", "pro"],
     "nf": ["com", "net", "per", "rec", "web", "arts", "firm", "info",
            "other", "store"],
+    # r5 additions - long-standing upstream families the snapshot lacked
+    # (first-crawl hosts under these resolved to a WRONG registrable
+    # domain, poisoning the MNC anti-join / dedup / chunker keys):
+    # Canadian provinces + federal
+    "ca": ["ab", "bc", "mb", "nb", "nf", "nl", "ns", "nt", "nu", "on",
+           "pe", "qc", "sk", "yk", "gc"],
+    # Chinese provinces (plus the generic set already above under "cn" -
+    # merged below)
+    "ru": ["ac", "edu", "gov", "int", "mil", "test"],
+    # Italian institutional + regions + major province codes
+    "it": ["gov", "edu", "abruzzo", "basilicata", "calabria", "campania",
+           "lazio", "liguria", "lombardia", "marche", "molise",
+           "piemonte", "puglia", "sardegna", "sicilia", "toscana",
+           "umbria", "veneto", "mi", "rm", "to", "na", "bo", "fi", "ge",
+           "pa", "ve", "ba"],
+}
+
+# merged into existing keys at generation time (cn provinces, kr regions,
+# us federal, za extras, ua cities)
+SECOND_LEVEL_EXTRA = {
+    "cn": ["ah", "bj", "cq", "fj", "gd", "gs", "gz", "gx", "ha", "hb",
+           "he", "hi", "hl", "hn", "jl", "js", "jx", "ln", "nm", "nx",
+           "qh", "sc", "sd", "sh", "sn", "sx", "tj", "xj", "xz", "yn",
+           "zj", "hk", "mo", "tw"],
+    "kr": ["seoul", "busan", "daegu", "incheon", "gwangju", "daejeon",
+           "ulsan", "gyeonggi", "gangwon", "chungbuk", "chungnam",
+           "jeonbuk", "jeonnam", "gyeongbuk", "gyeongnam", "jeju"],
+    "za": ["school", "law", "ngo", "nom", "tm", "agric", "alt", "nic",
+           "grondar"],
+    "ua": ["kiev", "kharkov", "odessa", "lviv", "donetsk", "crimea"],
 }
 
 # Entire-TLD wildcards (the PSL wildcards ALL second labels for these,
@@ -169,6 +199,8 @@ AU_THIRD = ([f"{s}.edu.au" for s in AU_STATES]
 US_STATES = ("al ak az ar ca co ct de dc fl ga hi id il in ia ks ky la me "
              "md ma mi mn ms mo mt ne nv nh nj nm ny nc nd oh ok or pa ri "
              "sc sd tn tx ut vt va wa wv wi wy").split()
+# federal/tribal second-levels (upstream .us block)
+US_FEDERAL = ["fed.us", "isa.us", "nsn.us", "dni.us"]
 
 # 4-label exact rules from the upstream list (Massachusetts carves its
 # k12 tree one level deeper) - these exercise the generated depth-4 CASE
@@ -207,8 +239,11 @@ def main() -> None:
         "// Generated by scripts/gen_psl_snapshot.py.",
         "",
     ]
-    for tld in sorted(SECOND_LEVEL):
-        for s in sorted(SECOND_LEVEL[tld]):
+    merged = {t: set(ls) for t, ls in SECOND_LEVEL.items()}
+    for t, ls in SECOND_LEVEL_EXTRA.items():
+        merged.setdefault(t, set()).update(ls)
+    for tld in sorted(merged):
+        for s in sorted(merged[tld]):
             lines.append(f"{s}.{tld}")
     for tld in WILDCARD_TLDS:
         lines.append(f"*.{tld}")
@@ -227,6 +262,7 @@ def main() -> None:
         for sub in ("k12", "cc", "lib"):
             lines.append(f"{sub}.{st}.us")
     lines.extend(US_FOURTH)
+    lines.extend(US_FEDERAL)
     # upstream section markers (comment lines; the loader applies rules
     # from both sections, matching tldextract's default = the reference)
     lines.append("")

@@ -55,6 +55,21 @@ PSL_CASES = {
     "vm.host7.compute.amazonaws.com": "vm",          # *.compute.amazonaws.com
     "docs.readthedocs.io": "docs",
     "www.blogspot.com": "www",       # private suffix beats com fallback
+    # r5 snapshot additions: long-standing upstream families previously
+    # absent (first-crawl hosts under these resolved to the WRONG
+    # registrable domain)
+    "www.toronto.on.ca": "toronto",          # Canadian provinces
+    "canada.gc.ca": "canada",                # federal .gc.ca
+    "news.bj.cn": "news",                    # Chinese provinces
+    "uni.edu.cn": "uni",                     # (pre-existing, still wins)
+    "portal.seoul.kr": "portal",             # Korean regions
+    "lib.gov.ru": "lib",                     # .ru institutional
+    "shop.ve.it": "shop",                    # Italian province codes
+    "site.lazio.it": "site",                 # Italian regions
+    "tribe.nsn.us": "tribe",                 # US tribal second-level
+    "agency.fed.us": "agency",               # US federal
+    "academy.school.za": "academy",          # ZA extras
+    "portal.kiev.ua": "portal",              # UA city second-levels
 }
 
 
