@@ -1314,13 +1314,132 @@ FROM windows GROUP BY doc_id, fingerprint"""
 def q_union_segments(d: str) -> str:
     """U1 (pd.concat of per-segment frames, cc_corpus.py:377): union-all of
     two crawl segments with per-segment provenance, then per-segment/tld
-    counts over the combined frame."""
+    counts over the combined frame.
+
+    The graded Spark side (_mq_union_segments) tag-unions the S2/S3 WET
+    container-parse round-trip onto this template (r5): rows tagged
+    wet_plain/wet_gz carry the parsed record counts and a 48-bit md5 row
+    digest per rec_type, against hashlib-precomputed VALUES in the
+    oracle - the only reference PIPELINE stage that previously had no
+    CORRECTNESS row."""
     return f"""WITH {geo_pages_cte(d)},
 seg_a AS (SELECT *, 'seg_a' AS segment FROM geo_pages WHERE doc_id % 2 = 0),
 seg_b AS (SELECT *, 'seg_b' AS segment FROM geo_pages WHERE doc_id % 2 = 1),
 unioned AS (SELECT * FROM seg_a UNION ALL SELECT * FROM seg_b)
 SELECT segment, tld, count(*) AS n_pages, count(DISTINCT domain) AS n_domains
 FROM unioned GROUP BY segment, tld"""
+
+
+# --- WET-parse grading (r5): the S2/S3 container parser round-trip,
+# folded into the union_segments slot (tag-union; generic columns carry
+# rec_type in 'tld' and the row-digest sum in 'n_domains').  The records
+# are LITERALS, so the oracle's expected digests are hashlib-precomputed
+# from the very strings the segment bytes were built from: a matching
+# sum proves sources.make_wet_bytes -> read_wet reproduced every
+# url/timestamp/body byte-for-byte through the WARC framing (gzip and
+# plain), Content-Length spanning internal CRLFs, multibyte UTF-8, and
+# empty bodies included.
+
+WET_DEMO_PLAIN = (
+    ("https://www.alpha.co.jp/p1", "2024-01-15T00:00:01Z",
+     "こんにちは世界 first line\nsecond line of page one"),
+    ("https://beta.on.ca/p2", "2024-01-15T00:00:02Z",
+     "body with an internal\r\nCRLF that Content-Length must span"),
+    ("https://gamma.example.bd/p3", "2024-01-15T00:00:03Z", ""),
+)
+WET_DEMO_GZ = (
+    ("https://delta.gov.uk/q1", "2024-02-01T12:30:00Z",
+     "gzip segment page • non-ascii bullet and trailing space "),
+    ("https://epsilon.com/q2", "2024-02-01T12:30:05Z",
+     "  leading whitespace preserved"),
+)
+_WET_INFO_BODY = "software: ccspark-test\r\n"
+
+
+def _wet_row_int(url, ts, text, rec_type) -> int:
+    """48-bit md5 row int of one parsed WET record - hashlib HERE (the
+    oracle side), Spark md5() on the module side."""
+    import hashlib
+    s = "|".join([url or "", ts or "", text, rec_type])
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
+
+
+def _wet_expected_rows():
+    rows = []
+    for seg, recs in (("wet_gz", WET_DEMO_GZ),
+                      ("wet_plain", WET_DEMO_PLAIN)):
+        conv = sum(_wet_row_int(u, t, x, "conversion") for u, t, x in recs)
+        rows.append((seg, "conversion", len(recs), conv))
+        rows.append((seg, "warcinfo", 1,
+                     _wet_row_int(None, None, _WET_INFO_BODY, "warcinfo")))
+    return rows
+
+
+def _wet_demo_glob() -> str:
+    """Write the two synthetic segments (one plain, one gzipped) to a
+    content-addressed tmp dir - same caching idea as the pages fixture:
+    editing the record literals changes the address, so no stale
+    reads."""
+    import hashlib
+    import os
+
+    from ccspark import sources
+    plain = sources.make_wet_bytes(WET_DEMO_PLAIN)
+    gz = sources.make_wet_bytes(WET_DEMO_GZ, gzip_out=True)
+    tag = hashlib.md5(plain + gz).hexdigest()[:12]
+    d = f"/tmp/ccspark_wet_demo_{tag}"
+    if not os.path.isdir(d):
+        tmp = f"{d}.tmp{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        with open(f"{tmp}/plain.wet", "wb") as f:
+            f.write(plain)
+        with open(f"{tmp}/gz.wet.gz", "wb") as f:
+            f.write(gz)
+        try:
+            os.replace(tmp, d)
+        except OSError:           # concurrent creator won the race
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+    # the directory itself, not dir/* - binaryFile reads every file in
+    # it, and a literal path spares the noisy FileStreamSink glob probe
+    return d
+
+
+def _mq_union_segments(spark, sf_dir):
+    """U1 template (its Spark rendering stays the parity anchor) + the
+    WET container-parse round-trip branch (sources.make_wet_bytes ->
+    read_wet with conversion_only=False so the warcinfo/F1 gate is
+    value-graded too)."""
+    from pyspark.sql import functions as F
+
+    from ccspark import sources
+    ensure_views(spark, sf_dir)
+    base = spark.sql(q_union_segments(SPARK))
+    pages = sources.read_wet(spark, _wet_demo_glob(),
+                             conversion_only=False)
+    dig = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.coalesce("url", F.lit("")),
+        F.coalesce("warc_ts", F.lit("")),
+        "text", "rec_type")), 1, 12), 16, 10).cast("bigint")
+    wet = (pages
+           .withColumn("segment",
+                       F.when(F.col("segment").contains("plain"),
+                              F.lit("wet_plain")).otherwise("wet_gz"))
+           .withColumn("_ri", dig)
+           .groupBy("segment", F.col("rec_type").alias("tld"))
+           .agg(F.count("*").alias("n_pages"),
+                F.sum("_ri").alias("n_domains")))
+    return base.unionByName(wet)
+
+
+def _union_segments_oracle() -> str:
+    vals = ", ".join(f"('{s}', '{t}', {n}, {dig})"
+                     for s, t, n, dig in _wet_expected_rows())
+    return f"""{q_union_segments(DUCK)}
+UNION ALL
+SELECT segment, tld, cast(n_pages AS bigint) AS n_pages,
+       cast(n_domains AS bigint) AS n_domains
+FROM (VALUES {vals}) v(segment, tld, n_pages, n_domains)"""
 
 
 def q_media_meta(d: str) -> str:
@@ -2540,6 +2659,9 @@ MODULE_QUERIES = {
     # the decontamination operator, fully value-graded
     "greedy_domain_suite": _mq_greedy_domain_suite,
     "decontamination": _mq_decontamination,
+    # U1 union + the WET container-parse round-trip (r5 tag-union): the
+    # S2/S3 parser gets a value-graded CORRECTNESS row
+    "union_segments": _mq_union_segments,
     # token_stats + the production token-budget sampler (r4 tag-union;
     # the freed builder slot keeps the surface at exactly 50 oracled)
     "token_suite": _mq_token_suite,
@@ -2568,6 +2690,7 @@ MODULE_ORACLES = {
     "ann_recall": _ANN_RECALL_ORACLE,
     "greedy_domain_suite": _greedy_suite_oracle(),
     "decontamination": q_decontamination(DUCK),
+    "union_segments": _union_segments_oracle(),
     "token_suite": q_token_suite(DUCK),
     "salted_domain_counts": _salted_counts_oracle(),
     "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,

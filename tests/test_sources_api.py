@@ -277,3 +277,32 @@ def test_facade_dedup_hygiene_methods(spark):
         Row(vec_id=2, embedding=[(-1.0) ** i for i in range(64)]),
     ])
     assert {r.vec_id for r in cc.dedup_semantic(emb).collect()} == {0, 2}
+
+
+def test_wet_parse_round_trip_digest(spark):
+    """The graded WET branch (r5, folded into union_segments): parsing
+    the synthetic plain+gzip segments must reproduce every
+    url/timestamp/body byte-for-byte - asserted via the same 48-bit md5
+    row-digest sums the driver oracle pins as hashlib-precomputed
+    VALUES."""
+    from pyspark.sql import functions as F
+
+    from ccspark import sources
+    from ccspark.queries import _wet_demo_glob, _wet_expected_rows
+    pages = sources.read_wet(spark, _wet_demo_glob(),
+                             conversion_only=False)
+    dig = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.coalesce("url", F.lit("")),
+        F.coalesce("warc_ts", F.lit("")),
+        "text", "rec_type")), 1, 12), 16, 10).cast("bigint")
+    got = sorted(tuple(r) for r in (
+        pages.withColumn("segment",
+                         F.when(F.col("segment").contains("plain"),
+                                F.lit("wet_plain")).otherwise("wet_gz"))
+        .withColumn("_ri", dig)
+        .groupBy("segment", "rec_type")
+        .agg(F.count("*").alias("n"), F.sum("_ri").alias("digest"))
+        .collect()))
+    assert got == sorted(_wet_expected_rows())
+    # conversion_only=True is the F1 gate over the same bytes
+    assert sources.read_wet(spark, _wet_demo_glob()).count() == 5
