@@ -437,6 +437,26 @@ class CCSparkCorpus:
         return out if flags_only else \
             out.where("kept").drop("cum", "kept")
 
+    def sample_mixture(self, docs: DataFrame, total_budget: int,
+                       proportions: dict[str, float],
+                       group_col: str = "lang",
+                       text_col: str = "text",
+                       flags_only: bool = False) -> DataFrame:
+        """Mixture sampling (ccspark.sampling.sample_by_mixture): split
+        one global *total_budget* across groups by target *proportions*
+        ("30% lang A / 70% lang B of a 1T-token budget"), then fill each
+        group's derived quota with the deterministic hash-ordered greedy
+        prefix.  Groups absent from *proportions* are excluded.  Returns
+        the sampled rows, or every row with (weight, cum, budget, kept)
+        when ``flags_only``.  Driver-graded inside query
+        ``token_suite`` ('mixture' branch)."""
+        from ccspark import sampling
+        out = sampling.sample_by_mixture(docs, total_budget, proportions,
+                                         group_col=group_col,
+                                         text_col=text_col)
+        return out if flags_only else \
+            out.where("kept").drop("cum", "budget", "kept")
+
     # ---- scrub + filter mining ----
 
     def scrub(self, df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -2075,19 +2075,46 @@ def _mq_decontamination(spark, sf_dir):
 TOKEN_BUDGET = 1000  # per-lang token quota; fixture per-lang totals are
 #                      ~4-5k, so the budget provably both keeps and prunes
 
+# Mixture sampling (r5): one GLOBAL budget split across languages by
+# target proportions.  en/de/fr budgets (3000/1200/1800 at these
+# numbers) sit below the sf0.01 per-lang totals (~11.8k/3.5k/3.8k) so
+# every named group both keeps and prunes; es/zh are absent -> budget 0,
+# nothing kept - the 'kept' column takes both values per the vacuity
+# audit.  The integer budgets are derived ONCE driver-side
+# (sampling.derive_mixture_budgets) and inlined into both dialects so
+# the engines cannot drift on float math.
+MIXTURE_TOTAL = 6000
+MIXTURE_PROPS = {"en": 0.5, "de": 0.2, "fr": 0.3}
+
+
+def _mixture_budget_case() -> str:
+    """CASE arm per named group from the SAME derivation the production
+    module uses (identical in both SQL dialects)."""
+    from ccspark.sampling import derive_mixture_budgets
+    budgets = derive_mixture_budgets(MIXTURE_TOTAL, MIXTURE_PROPS)
+    arms = " ".join(f"WHEN '{g}' THEN {b}"
+                    for g, b in sorted(budgets.items()))
+    return f"CASE lang {arms} ELSE 0 END"
+
 
 def q_token_suite(d: str) -> str:
-    """token_stats + sample_by_token_budget as ONE dual-dialect
-    statement.  The sampler branch pins the full greedy-prefix contract
-    cross-engine: md5(lang:doc_id) hash order, inclusive running token
-    sum, kept iff the budget was not exhausted BEFORE the doc (the
-    boundary-crossing doc is included, every group keeps >= 1 doc).  The
-    graded Spark side runs the PRODUCTION module
-    (ccspark.sampling.sample_by_token_budget) for this branch; this
-    template's Spark rendering is the pytest parity anchor."""
+    """token_stats + sample_by_token_budget + sample_by_mixture as ONE
+    dual-dialect statement.  The sampler branches pin the full
+    greedy-prefix contract cross-engine: md5(lang:doc_id) hash order,
+    inclusive running token sum, kept iff the budget was not exhausted
+    BEFORE the doc (the boundary-crossing doc is included, every group
+    with a positive budget keeps >= 1 doc).  The 'mixture' branch
+    (r5) splits one global budget across languages by target
+    proportions — its c column packs budget*2 + kept so the derived
+    per-group budget is value-graded alongside the keep decision.  The
+    graded Spark side runs the PRODUCTION modules
+    (ccspark.sampling.sample_by_token_budget / sample_by_mixture) for
+    these branches; this template's Spark rendering is the pytest
+    parity anchor."""
     stats = q_token_stats(d)
     wc = ("size(filter(split(text, ' '), x -> x != ''))" if d == SPARK
           else "len(list_filter(string_split(text, ' '), x -> x != ''))")
+    bud_case = _mixture_budget_case()
     budget = f"""WITH weighted AS (
   SELECT doc_id, lang, cast({wc} AS bigint) AS weight,
          md5(concat_ws(':', lang, doc_id)) AS ord
@@ -2101,7 +2128,8 @@ cums AS (
   FROM weighted
 )
 SELECT doc_id, lang, weight, cast(cum AS bigint) AS cum,
-       (CASE WHEN cum - weight < {TOKEN_BUDGET} THEN 1 ELSE 0 END) AS kept
+       (CASE WHEN cum - weight < {TOKEN_BUDGET} THEN 1 ELSE 0 END) AS kept,
+       ({bud_case}) AS bud
 FROM cums"""
     return f"""SELECT 'stats' AS op, doc_id, lang,
        cast(ws_tokens AS bigint) AS a,
@@ -2111,7 +2139,13 @@ FROM ({stats}) st
 UNION ALL
 SELECT 'budget' AS op, doc_id, lang,
        weight AS a, cum AS b, cast(kept AS bigint) AS c
-FROM ({budget}) bu"""
+FROM ({budget}) bu
+UNION ALL
+SELECT 'mixture' AS op, doc_id, lang,
+       weight AS a, cum AS b,
+       cast(bud * 2 + (CASE WHEN cum - weight < bud THEN 1 ELSE 0 END)
+            AS bigint) AS c
+FROM ({budget}) mx"""
 
 
 def _mq_token_suite(spark, sf_dir):
@@ -2133,7 +2167,12 @@ def _mq_token_suite(spark, sf_dir):
     b = samp.select(F.lit("budget").alias("op"), "doc_id", "lang",
                     F.col("weight").alias("a"), F.col("cum").alias("b"),
                     F.col("kept").cast("bigint").alias("c"))
-    return stats.unionByName(b)
+    mix = sampling.sample_by_mixture(docs, MIXTURE_TOTAL, MIXTURE_PROPS)
+    m = mix.select(F.lit("mixture").alias("op"), "doc_id", "lang",
+                   F.col("weight").alias("a"), F.col("cum").alias("b"),
+                   (F.col("budget") * 2
+                    + F.col("kept").cast("bigint")).alias("c"))
+    return stats.unionByName(b).unionByName(m)
 
 
 def _mq_ivf_recall(spark, sf_dir):

@@ -51,6 +51,38 @@ def with_token_weights(docs: DataFrame, text_col: str = "text",
     return docs.withColumn(weight_col, w.cast("long"))
 
 
+def _with_cum(docs: DataFrame, group_col: str, id_col: str,
+              weight_col: str) -> DataFrame:
+    """All *docs* columns + ``cum``: the inclusive running sum of
+    *weight_col* in global md5(group:id) hash order, computed by the
+    three-stage bucketed prefix-sum (module docstring).  Shared by the
+    fixed-budget sampler and the mixture sampler so the scalable plan
+    exists exactly once."""
+    ordkey = F.md5(F.concat_ws(":", F.col(group_col), F.col(id_col)))
+    d = (docs.withColumn("_ord", ordkey)
+         .withColumn("_bkt", F.conv(F.substring("_ord", 1, 2), 16, 10)
+                     .cast("int")))
+    # stage 1: within-(group, bucket) running sums - 256x the
+    # parallelism of a per-group window
+    wb = (Window.partitionBy(group_col, "_bkt")
+          .orderBy(F.col("_ord"), F.col(id_col))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = d.withColumn("_within", F.sum(weight_col).over(wb).cast("long"))
+    # stage 2: tiny (groups x 256) offsets table, prefix-summed,
+    # broadcast back
+    wo = (Window.partitionBy(group_col).orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (d.groupBy(group_col, "_bkt")
+               .agg(F.sum(weight_col).alias("_tot"))
+               .withColumn("_off", F.coalesce(F.sum("_tot").over(wo),
+                                              F.lit(0)).cast("long"))
+               .select(group_col, "_bkt", "_off"))
+    return (d.join(F.broadcast(offsets), [group_col, "_bkt"])
+            .withColumn("cum", (F.col("_off") + F.col("_within"))
+                        .cast("long"))
+            .select(*docs.columns, "cum"))
+
+
 def sample_by_token_budget(docs: DataFrame, budget: int,
                            group_col: str = "lang",
                            text_col: str = "text",
@@ -72,31 +104,70 @@ def sample_by_token_budget(docs: DataFrame, budget: int,
     if weight_col is None:
         docs = with_token_weights(docs, text_col)
         weight_col = "weight"
-    ordkey = F.md5(F.concat_ws(":", F.col(group_col), F.col(id_col)))
-    d = (docs.withColumn("_ord", ordkey)
-         .withColumn("_bkt", F.conv(F.substring("_ord", 1, 2), 16, 10)
-                     .cast("int")))
-    # stage 1: within-(group, bucket) running sums - 256x the
-    # parallelism of a per-group window
-    wb = (Window.partitionBy(group_col, "_bkt")
-          .orderBy(F.col("_ord"), F.col(id_col))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    d = d.withColumn("_within", F.sum(weight_col).over(wb).cast("long"))
-    # stage 2: tiny (groups x 256) offsets table, prefix-summed,
-    # broadcast back
-    wo = (Window.partitionBy(group_col).orderBy("_bkt")
-          .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = (d.groupBy(group_col, "_bkt")
-               .agg(F.sum(weight_col).alias("_tot"))
-               .withColumn("_off", F.coalesce(F.sum("_tot").over(wo),
-                                              F.lit(0)).cast("long"))
-               .select(group_col, "_bkt", "_off"))
-    out = (d.join(F.broadcast(offsets), [group_col, "_bkt"])
-           .withColumn("cum", (F.col("_off") + F.col("_within"))
-                       .cast("long"))
-           .select(*docs.columns, "cum"))
+    out = _with_cum(docs, group_col, id_col, weight_col)
     return out.withColumn(
         "kept", (F.col("cum") - F.col(weight_col)) < F.lit(budget))
+
+
+def derive_mixture_budgets(total_budget: int,
+                           proportions: dict[str, float]) -> dict[str, int]:
+    """Per-group integer budgets from target mixture *proportions* —
+    budget_g = floor(total_budget * p_g / sum(p)).  Proportions are
+    normalized by their sum, so {en: 2, de: 1} and {en: 2/3, de: 1/3}
+    are equivalent; negative weights and an all-zero dict are errors.
+    Driver-side pure-Python so the Spark module and any SQL oracle twin
+    derive from the SAME integers (no float drift across engines)."""
+    if not proportions:
+        raise ValueError("proportions must be a non-empty dict")
+    if any(p < 0 for p in proportions.values()):
+        raise ValueError("proportions must be non-negative")
+    s = float(sum(proportions.values()))
+    if s <= 0:
+        raise ValueError("proportions must sum to a positive value")
+    return {g: int(total_budget * p / s) for g, p in proportions.items()}
+
+
+def sample_by_mixture(docs: DataFrame, total_budget: int,
+                      proportions: dict[str, float],
+                      group_col: str = "lang",
+                      text_col: str = "text",
+                      id_col: str = "doc_id",
+                      weight_col: str | None = None) -> DataFrame:
+    """Training-mix sampling: split one global *total_budget* across
+    groups by target *proportions* (the standard "30% lang A / 70% lang
+    B of a 1T-token budget" operator), then take each group's greedy
+    hash-order prefix under its derived budget — one level above
+    sample_by_token_budget's uniform per-group quota.
+
+    Output: all *docs* columns + ``weight``, ``cum``, ``budget`` (the
+    group's derived integer quota; 0 for groups absent from
+    *proportions*) and ``kept``.  Groups not named in *proportions* get
+    budget 0 and keep NOTHING (cum - weight < 0 is never true) — absent
+    groups are excluded from the mix rather than silently passed
+    through; filter ``kept`` for the sample.
+
+    Scale shape: the cum is the same three-stage bucketed prefix-sum
+    (ONE shared implementation, _with_cum); the per-group budgets are a
+    tiny driver-derived table broadcast onto it — no extra shuffle
+    beyond the fixed-budget sampler's.  Values are bit-identical to
+    running sample_by_token_budget per group with the derived budgets
+    (asserted in tests/test_sampling.py) and hash-verified against the
+    DuckDB window recomputation by the driver (token_suite 'mixture'
+    branch)."""
+    budgets = derive_mixture_budgets(total_budget, proportions)
+    if weight_col is None:
+        docs = with_token_weights(docs, text_col)
+        weight_col = "weight"
+    out = _with_cum(docs, group_col, id_col, weight_col)
+    bdf = out.sparkSession.createDataFrame(
+        [(g, b) for g, b in sorted(budgets.items())],
+        f"{group_col} string, budget long")
+    return (out.join(F.broadcast(bdf), group_col, "left")
+            .withColumn("budget", F.coalesce(F.col("budget"), F.lit(0))
+                        .cast("long"))
+            .withColumn("kept", (F.col("cum") - F.col(weight_col))
+                        < F.col("budget"))
+            .select(*out.columns, "budget", "kept"))
 
 
 def sample_by_token_budget_window(docs: DataFrame, budget: int,

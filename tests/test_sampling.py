@@ -107,3 +107,61 @@ def test_module_matches_sql_template(spark):
     # the budget really bites on the fixture: both kept and pruned exist
     flags = {v[2] for v in mod_rows.values()}
     assert flags == {0, 1}
+
+
+def test_mixture_budget_derivation():
+    import pytest
+    b = sampling.derive_mixture_budgets(6000, {"en": .5, "de": .2,
+                                               "fr": .3})
+    assert b == {"en": 3000, "de": 1200, "fr": 1800}
+    # normalization: weights need not sum to 1
+    assert sampling.derive_mixture_budgets(900, {"a": 2, "b": 1}) == \
+        {"a": 600, "b": 300}
+    for bad in ({}, {"a": -0.1, "b": 1.1}, {"a": 0.0}):
+        with pytest.raises(ValueError):
+            sampling.derive_mixture_budgets(100, bad)
+
+
+def test_mixture_equals_per_group_budget_sampler(spark):
+    """sample_by_mixture == sample_by_token_budget run per group with
+    the derived budgets, bit for bit; absent groups keep nothing."""
+    docs = _docs(spark)   # en x12, de x8, zh x1; 25 tokens each
+    props = {"en": 0.6, "de": 0.4}   # zh absent -> budget 0
+    out = sampling.sample_by_mixture(docs, 250, props).collect()
+    budgets = sampling.derive_mixture_budgets(250, props)
+    for lang, bud in budgets.items():
+        ref = {(r.doc_id, r.cum, r.kept) for r in
+               sampling.sample_by_token_budget(
+                   docs.where(F.col("lang") == lang), bud).collect()}
+        got = {(r.doc_id, r.cum, r.kept) for r in out
+               if r.lang == lang}
+        assert got == ref, lang
+        assert all(r.budget == bud for r in out if r.lang == lang)
+    zh = [r for r in out if r.lang == "zh"]
+    assert zh and all(r.budget == 0 and not r.kept for r in zh)
+    # the mix really bites: kept and pruned both present in each named
+    # group (150/100 token budgets vs 300/200 group totals)
+    for lang in props:
+        flags = {r.kept for r in out if r.lang == lang}
+        assert flags == {True, False}, lang
+
+
+def test_mixture_module_matches_sql_template(spark):
+    """Production sample_by_mixture == the Spark rendering of the
+    oracled template's 'mixture' branch (budget*2 + kept packing)."""
+    from ccspark.queries import (MIXTURE_PROPS, MIXTURE_TOTAL,
+                                 q_token_suite, ensure_views)
+    from ccspark.sqlgen import SPARK
+    ensure_views(spark, "/root/testdata/sf0.01")
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sql_rows = {r.doc_id: (r.a, r.b, r.c) for r in
+                spark.sql(q_token_suite(SPARK)).where("op = 'mixture'")
+                .collect()}
+    mod = sampling.sample_by_mixture(docs, MIXTURE_TOTAL, MIXTURE_PROPS)
+    mod_rows = {r.doc_id: (r.weight, r.cum, r.budget * 2 + int(r.kept))
+                for r in mod.collect()}
+    assert mod_rows == sql_rows
+    # vacuity: kept takes both values, and some group has budget 0
+    kept = {v[2] % 2 for v in mod_rows.values()}
+    assert kept == {0, 1}
+    assert {v[2] // 2 for v in mod_rows.values()} > {0}
