@@ -857,13 +857,25 @@ def q_country_cap(d: str) -> str:
     bit-for-bit; it is the PARITY ANCHOR (skew.cap_per_key_window).
     Production paths use skew.cap_per_key - the salted two-phase top-k
     that never sorts a whole hot key in one task - whose survivors are
-    provably identical (tests/test_skew.py)."""
+    provably identical (tests/test_skew.py).
+
+    Vacuity (r5): at sf0.01 EVERY real country saturates rk=20, so the
+    keep-all-when-under-cap path was never graded - two injected
+    sentinel rows (negative doc_ids, country '_under_cap') pin it in
+    both dialects."""
     return f"""WITH {geo_pages_cte(d)},
+capped_in AS (
+  SELECT doc_id, url, country FROM geo_pages
+  UNION ALL
+  SELECT cast(-1 AS bigint), 'https://tiny-a.example.bd/', '_under_cap'
+  UNION ALL
+  SELECT cast(-2 AS bigint), 'https://tiny-b.example.bd/', '_under_cap'
+),
 ranked AS (
   SELECT doc_id, url, country,
          row_number() OVER (PARTITION BY country ORDER BY md5(url), url)
            AS rk
-  FROM geo_pages
+  FROM capped_in
 )
 SELECT doc_id, url, country, rk FROM ranked WHERE rk <= 20"""
 

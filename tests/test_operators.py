@@ -741,6 +741,28 @@ def test_graded_verdicts_two_sided(spark):
     dq = Q.MODULE_QUERIES["domain_quality"](spark, sf)
     got = {r[0] for r in dq.select("domain_keep").distinct().collect()}
     assert got == {True, False}, got
+    # r5 additions, same rule applied before any of them shipped:
+    # decontamination - BOTH gram branches plant hits AND leave clean
+    # docs at the driver's grading scale
+    dc = spark.sql(Q.q_decontamination(SPARK)).collect()
+    for tag in ("word", "char"):
+        got = {r.contaminated for r in dc if r.tag == tag}
+        assert got == {True, False}, (tag, got)
+    # token_suite - the fixed-budget sampler keeps AND prunes; the
+    # mixture branch keeps AND prunes (c parity = kept) across more
+    # than one distinct derived quota (c >> 1 = budget)
+    ts = spark.sql(Q.q_token_suite(SPARK)).collect()
+    assert {r.c for r in ts if r.op == "budget"} == {0, 1}
+    mix = [r.c for r in ts if r.op == "mixture"]
+    assert {c % 2 for c in mix} == {0, 1}
+    assert len({c // 2 for c in mix}) >= 3    # en/de/fr quotas + 0
+    # country_cap - the cap really bites: some country saturates rk=20
+    # while another stays under it
+    cap = spark.sql(Q.QUERY_BUILDERS["country_cap"](SPARK)).collect()
+    per = {}
+    for r in cap:
+        per[r.country] = max(per.get(r.country, 0), r.rk)
+    assert 20 in per.values() and any(v < 20 for v in per.values()), per
 
 
 def test_jaccard_on_candidates_shingleless_docs(spark):
