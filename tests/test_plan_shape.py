@@ -113,9 +113,12 @@ def test_keep_first_map_side_combining(spark):
 
 
 def test_finalize_dedup_is_aggregate(spark):
-    """api.finalize end-to-end: exactly one row_number window (the
-    deterministic per-country cap - bounded per key by construction) and
-    an aggregate-form text dedup with a map-side partial phase."""
+    """api.finalize end-to-end: the per-country cap is the SALTED
+    two-phase top-k (r5) - exactly two row_number windows, the local
+    one partitioned by (country, salt) so no hot country ever sorts on
+    one task, the global one over the bounded <= limit*salt_n candidate
+    set - and the text dedup is aggregate-form with a map-side partial
+    phase (no dedup window at all)."""
     from ccspark.api import CCSparkCorpus
     lid_pages = spark.createDataFrame(
         [(f"http://d{i}.de/p", "Germany", "europe", f"text {i % 5}")
@@ -125,7 +128,9 @@ def test_finalize_dedup_is_aggregate(spark):
     plan = plan_of(out)
     windows = [ln for ln in plan.splitlines()
                if re.search(r"\bWindow \[", ln)]
-    assert len(windows) == 1, plan               # the cap, not the dedup
+    assert len(windows) == 2, plan               # the 2-phase cap only
+    salted = [ln for ln in windows if "_salt" in ln]
+    assert len(salted) == 1, plan                # phase 1 rides the salt
     assert "partial_min" in plan, plan
     assert out.count() == 5
 
