@@ -130,6 +130,41 @@ def _horner(q, coefs):
     return acc
 
 
+def _flit(x: float) -> str:
+    """Double literal for BOTH dialects: scientific notation, because
+    Spark parses bare `0.5`-style literals as DECIMAL (dual-dialect
+    rule: `1e0` not `1.0`)."""
+    return format(x, ".17e")
+
+
+def _horner_sql(col: str, coefs) -> str:
+    acc = _flit(coefs[0])
+    for c in coefs[1:]:
+        acc = f"({acc} * {col} + {_flit(c)})"
+    return acc
+
+
+def norm_ppf_case_sql(pp: str = "pp", ql: str = "ql", qh: str = "qh",
+                      qm: str = "qm", rr: str = "rr") -> str:
+    """SQL rendering of norm_ppf for the graded template - SAME _ACK_*
+    constants as the Column form above (single source, so the module
+    and the dual-dialect oracle cannot drift).  The helper arguments
+    must be COLUMNS pre-bound in an earlier CTE:
+        ql = sqrt(-2e0 * ln(pp)),  qh = sqrt(-2e0 * ln(1e0 - pp)),
+        qm = pp - 5e-1,            rr = qm * qm
+    so the Horner chains below reference cheap column reads instead of
+    re-inlining sqrt/ln trees ~11x each (the codegen-blowup trap)."""
+    tail_low = (f"{_horner_sql(ql, _ACK_C)} / "
+                f"({_horner_sql(ql, _ACK_D)} * {ql} + 1e0)")
+    tail_high = (f"-({_horner_sql(qh, _ACK_C)} / "
+                 f"({_horner_sql(qh, _ACK_D)} * {qh} + 1e0))")
+    central = (f"{_horner_sql(rr, _ACK_A)} * {qm} / "
+               f"({_horner_sql(rr, _ACK_B)} * {rr} + 1e0)")
+    return (f"CASE WHEN {pp} < {_flit(_ACK_PLOW)} THEN {tail_low} "
+            f"WHEN {pp} > {_flit(1.0 - _ACK_PLOW)} THEN {tail_high} "
+            f"ELSE {central} END")
+
+
 def norm_ppf(p) -> F.Column:
     """Standard-normal inverse CDF of a probability column, as a pure
     Catalyst expression (Acklam's approximation).  p must lie in (0, 1);

@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 from typing import Callable
 
-from ccspark import geo, kernel
+from ccspark import geo, kernel, quality
 from ccspark.fixtures_sql import pages_subquery
 from ccspark.regexes import RE_LINE_SPLIT
 from ccspark.sqlgen import (
@@ -985,7 +985,17 @@ def q_perplexity_outliers(d: str) -> str:
     verdict never fired in the grade - the template injects one
     max-likelihood doc (the corpus's ubiquitous word repeated) so all
     three predictions are value-graded (r4; LOW and IN occur
-    naturally)."""
+    naturally).
+
+    r5 tag-union: rows with prediction='QQ' carry the M6 probplot data
+    (outlier_detection.py:88-91) for the per-lang loglik distribution -
+    doc_id:=rank, loglik:=the rank-th order statistic, z:=the
+    round-4 Filliben/Acklam theoretical quantile
+    (quality.norm_ppf_case_sql, same constants as the Column form).
+    row_number ties are harmless: tied loglik values make the emitted
+    (rank, loglik, z) row SET order-independent.  At grading scale the
+    big langs exercise all three Acklam branches (n>=29 puts rank 1
+    past the 0.02425 tail split) and both Filliben endpoint arms."""
     words = split_arr(d, "text", " ")
     unnest_w = (
         f"(SELECT doc_id, lang, unnest({words}) AS w FROM pages)"
@@ -1022,11 +1032,37 @@ scored AS (
   SELECT d3.doc_id, d3.lang, d3.loglik,
          round(0.6745 * (d3.loglik - m.med) / m.mad_v, 4) AS z
   FROM doc_ll d3 JOIN mad m ON d3.lang = m.lang
+),
+qq_ranked AS (
+  SELECT lang, loglik,
+         row_number() OVER (PARTITION BY lang ORDER BY loglik) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM doc_ll
+),
+qq_pp AS (
+  SELECT lang, rk, loglik,
+         CASE WHEN rk = 1 THEN 1e0 - power(5e-1, 1e0 / n)
+              WHEN rk = n THEN power(5e-1, 1e0 / n)
+              ELSE (rk - 3.175e-1) / (n + 3.65e-1) END AS pp
+  FROM qq_ranked
+),
+qq_bound AS (
+  SELECT lang, rk, loglik, pp,
+         sqrt(-2e0 * ln(pp)) AS ql,
+         sqrt(-2e0 * ln(1e0 - pp)) AS qh,
+         pp - 5e-1 AS qm,
+         (pp - 5e-1) * (pp - 5e-1) AS rr
+  FROM qq_pp
 )
 SELECT doc_id, lang, loglik, z,
        CASE WHEN z > 3 THEN 'HIGH' WHEN z < -3 THEN 'LOW' ELSE 'IN' END
          AS prediction
-FROM scored"""
+FROM scored
+UNION ALL
+SELECT cast(rk AS bigint) AS doc_id, lang, loglik,
+       round({quality.norm_ppf_case_sql()}, 4) AS z,
+       'QQ' AS prediction
+FROM qq_bound"""
 
 
 # ----- near-dup + similarity over documents/embeddings --------------------

@@ -730,7 +730,8 @@ def test_graded_verdicts_two_sided(spark):
         ("c4_quality", "page_keep", {True, False}),
         ("gopher_repetition", "rep_keep", {True, False}),
         ("doc_exact_dedup", "family_size", {1, 2}),
-        ("perplexity_outliers", "prediction", {"HIGH", "LOW", "IN"}),
+        ("perplexity_outliers", "prediction",
+         {"HIGH", "LOW", "IN", "QQ"}),
         ("media_meta", "media_type",
          {"html", "gif", "pdf", "riff", "unknown"}),
         ("c4_span_dedup", "keep", {True, False}),
@@ -763,6 +764,31 @@ def test_graded_verdicts_two_sided(spark):
     for r in cap:
         per[r.country] = max(per.get(r.country, 0), r.rk)
     assert 20 in per.values() and any(v < 20 for v in per.values()), per
+    # perplexity_outliers QQ branch (r5, M6): all three Acklam CASE
+    # regions and both Filliben endpoint arms must be exercised at the
+    # grading scale, else the theoretical-quantile math is only
+    # partially value-graded.  doc_id carries the rank; pp is implied
+    # by (rank, per-lang n).
+    px = spark.sql(Q.QUERY_BUILDERS["perplexity_outliers"](SPARK))
+    qq = [(r.lang, r.doc_id) for r in px.collect()
+          if r.prediction == "QQ"]
+    n_by_lang = {}
+    for lang, _ in qq:
+        n_by_lang[lang] = n_by_lang.get(lang, 0) + 1
+    regions = set()
+    for lang, rk in qq:
+        n = n_by_lang[lang]
+        if rk == 1:
+            pp = 1.0 - 0.5 ** (1.0 / n)
+        elif rk == n:
+            pp = 0.5 ** (1.0 / n)
+        else:
+            pp = (rk - 0.3175) / (n + 0.365)
+        regions.add("lo" if pp < 0.02425 else
+                    "hi" if pp > 0.97575 else "mid")
+    assert regions == {"lo", "mid", "hi"}, regions
+    assert any(rk == 1 for _, rk in qq) and \
+        any(rk == n_by_lang[lang] for lang, rk in qq)
 
 
 def test_jaccard_on_candidates_shingleless_docs(spark):
