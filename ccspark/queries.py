@@ -995,7 +995,11 @@ def q_perplexity_outliers(d: str) -> str:
     row_number ties are harmless: tied loglik values make the emitted
     (rank, loglik, z) row SET order-independent.  At grading scale the
     big langs exercise all three Acklam branches (n>=29 puts rank 1
-    past the 0.02425 tail split) and both Filliben endpoint arms."""
+    past the 0.02425 tail split) and both Filliben endpoint arms.
+    Like country_cap's window rendering, the per-lang ranking here is
+    the bit-stable ANCHOR form: the production path for crawl-scale QQ
+    is quality.qq_points(approx=True) - a percentile_approx sketch,
+    one mergeable aggregation, no per-key sort."""
     words = split_arr(d, "text", " ")
     unnest_w = (
         f"(SELECT doc_id, lang, unnest({words}) AS w FROM pages)"
