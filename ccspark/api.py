@@ -355,9 +355,9 @@ class CCSparkCorpus:
                                      n_points=n_points, approx=approx)
 
     def decontaminate(self, docs: DataFrame, benchmark: DataFrame,
-                      n: int = 13, char_n: int | None = 20,
-                      remove: bool = True, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      n: int = 13, remove: bool = True,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      *, char_n: int | None = 20) -> DataFrame:
         """Benchmark decontamination (ccspark.decontam): drop (or flag,
         ``remove=False``) documents sharing any normalized word *n*-gram
         OR char *char_n*-gram with the *benchmark* eval set.  The char

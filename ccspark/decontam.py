@@ -188,6 +188,23 @@ def _rejoin_hits(docs: DataFrame, hits: DataFrame, id_col: str,
                         F.coalesce(F.col(hits_col), F.lit(0)).cast("long")))
 
 
+def _char_hit_counts(docs: DataFrame, benchmark: DataFrame, n: int,
+                     id_col: str, text_col: str,
+                     bench_text_col: str) -> DataFrame:
+    """Per-doc distinct char-n-gram hit counts vs the broadcast
+    benchmark char-gram hash set (the explode side of the char branch,
+    shared by ``decontaminate_chars`` and ``decontaminate``)."""
+    bench = bench_char_gram_hashes(benchmark, n=n,
+                                   text_col=bench_text_col)
+    stream = F.expr(char_stream(SPARK, text_col))
+    exploded = (docs
+                .select(F.col(id_col), stream.alias(_CHARS_SENTINEL))
+                .select(id_col,
+                        F.explode(
+                            F.expr(_char_gram_hashes_expr(n))).alias("gh")))
+    return _hit_counts(exploded, bench, id_col, "n_char_hits")
+
+
 def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
                   n: int = DEFAULT_N, char_n: int | None = None,
                   id_col: str = "doc_id", text_col: str = "text",
@@ -219,14 +236,16 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
                        id_col, "n_hits")
     if char_n is None:
         return out.withColumn("contaminated", F.col("n_hits") > 0)
-    chars = decontaminate_chars(out, benchmark, n=char_n, id_col=id_col,
-                                text_col=text_col,
-                                bench_text_col=bench_text_col)
-    return (chars
-            .withColumnRenamed("contaminated", "_char_contam")
+    # Char hits explode from the ORIGINAL docs, not the word-joined
+    # spine: Spark has no join elimination, so deriving the char stream
+    # from `out` would drag the whole word-gram explode/aggregate
+    # subtree into the char branch's lineage and run it twice.
+    char_hits = _char_hit_counts(docs, benchmark, char_n, id_col,
+                                 text_col, bench_text_col)
+    return (_rejoin_hits(out, char_hits, id_col, "n_char_hits")
             .withColumn("contaminated",
-                        (F.col("n_hits") > 0) | F.col("_char_contam"))
-            .drop("_char_contam"))
+                        (F.col("n_hits") > 0)
+                        | (F.col("n_char_hits") > 0)))
 
 
 def decontaminate_chars(docs: DataFrame, benchmark: DataFrame, *,
@@ -239,16 +258,9 @@ def decontaminate_chars(docs: DataFrame, benchmark: DataFrame, *,
     over the normalized char stream (``char_stream``) instead of the
     words array, so zh/ja/ko benchmark spans are caught even though
     they normalize to a single word token."""
-    bench = bench_char_gram_hashes(benchmark, n=n,
-                                   text_col=bench_text_col)
-    stream = F.expr(char_stream(SPARK, text_col))
-    exploded = (docs
-                .select(F.col(id_col), stream.alias(_CHARS_SENTINEL))
-                .select(id_col,
-                        F.explode(
-                            F.expr(_char_gram_hashes_expr(n))).alias("gh")))
     out = _rejoin_hits(docs,
-                       _hit_counts(exploded, bench, id_col, "n_char_hits"),
+                       _char_hit_counts(docs, benchmark, n, id_col,
+                                        text_col, bench_text_col),
                        id_col, "n_char_hits")
     return out.withColumn("contaminated", F.col("n_char_hits") > 0)
 

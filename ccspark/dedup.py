@@ -685,14 +685,31 @@ def minhash_signature_table(docs: DataFrame, text_col: str = "text",
 
 def banded_signatures(sig: DataFrame, bands: int = 4,
                       id_col: str = "doc_id",
-                      hash_family: str = "xxhash64") -> DataFrame:
+                      hash_family: str | None = None) -> DataFrame:
     """Explode a ``minhash_signature_table`` into its band-digest form
     (id_col, m0.., digest) - one row per (doc, band).  This is the
     PERSISTED layout for cross-crawl screening at scale: write history
     with ``catalog.save_bucketed(spark, banded, tbl, "digest")`` and
     ``incremental_near_dups`` probes it with the history-side exchange
     gone (asserted in tests/test_operators.py) - only the new crawl's
-    (much smaller) digest stream shuffles."""
+    (much smaller) digest stream shuffles.
+
+    *hash_family* defaults to the family STAMPED on the signature
+    table (``minhash_signature_table`` metadata), falling back to
+    xxhash64 for unstamped tables; passing a family that contradicts
+    the stamp raises rather than silently re-stamping the banded
+    layout with the wrong family (which would make every later
+    ``incremental_near_dups`` probe pass validation and match
+    nothing)."""
+    stamped = _sig_meta(sig).get("ccspark_hash_family")
+    if hash_family is None:
+        hash_family = stamped or "xxhash64"
+    elif stamped is not None and hash_family != stamped:
+        raise ValueError(
+            f"banded_signatures(hash_family={hash_family!r}) on a "
+            f"signature table stamped hash_family={stamped!r}: band "
+            "digests would not match any probe built from these "
+            "signatures")
     mcols = _sig_cols(sig)
     rows_per_band = max(1, len(mcols) // bands)
     digs = []

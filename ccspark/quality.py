@@ -239,6 +239,9 @@ def qq_points(df: DataFrame, value_col: str = "loglik",
               .withColumn("_n", F.count("*").over(
                   Window.partitionBy(*g) if g else Window.partitionBy())))
     if n_points:
+        if n_points < 2:
+            raise ValueError("exact QQ decimation keeps both endpoints: "
+                             "n_points must be >= 2")
         step = F.greatest(F.lit(1), F.ceil((F.col("_n") - 1.0)
                                            / (n_points - 1)).cast("bigint"))
         ranked = ranked.where(
@@ -253,7 +256,12 @@ def qq_points(df: DataFrame, value_col: str = "loglik",
 
 def qq_fit(qq: DataFrame, group_cols=()) -> DataFrame:
     """probplot's fit=True output per group: least-squares sample_q ~
-    theoretical_q (slope, intercept) + Pearson r - native aggregates."""
+    theoretical_q (slope, intercept) + Pearson r - native aggregates.
+    A degenerate group (a single QQ point, routine in crawl-tail cells,
+    or all-equal theoretical_q) has zero variance: try_divide yields
+    NULL slope/intercept there instead of the whole-job DIVIDE_BY_ZERO
+    Spark 4's default ANSI mode raises on 0.0/0.0 (r matches: corr of a
+    degenerate group is already NULL)."""
     g = list(group_cols)
     agg = qq.groupBy(*g).agg(
         F.covar_pop("theoretical_q", "sample_q").alias("_cov"),
@@ -261,7 +269,8 @@ def qq_fit(qq: DataFrame, group_cols=()) -> DataFrame:
         F.avg("theoretical_q").alias("_mt"),
         F.avg("sample_q").alias("_ms"),
         F.corr("theoretical_q", "sample_q").alias("r"))
-    return (agg.withColumn("slope", F.col("_cov") / F.col("_var"))
+    return (agg.withColumn("slope", F.try_divide(F.col("_cov"),
+                                                 F.col("_var")))
                .withColumn("intercept",
                            F.col("_ms") - F.col("slope") * F.col("_mt"))
                .select(*g, "slope", "intercept", "r"))

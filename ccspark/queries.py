@@ -2162,7 +2162,11 @@ def q_token_suite(d: str) -> str:
     graded Spark side runs the PRODUCTION modules
     (ccspark.sampling.sample_by_token_budget / sample_by_mixture) for
     these branches; this template's Spark rendering is the pytest
-    parity anchor."""
+    parity anchor.  Both sampler branches ride ONE scan of the windowed
+    budget subquery via a 2-row tag cross join (the budget/mixture rows
+    differ only in which threshold gates `kept`) - never UNION the same
+    expensive subquery per branch (CLAUDE.md: Spark re-plans it per
+    branch)."""
     stats = q_token_stats(d)
     wc = ("size(filter(split(text, ' '), x -> x != ''))" if d == SPARK
           else "len(list_filter(string_split(text, ' '), x -> x != ''))")
@@ -2189,15 +2193,13 @@ FROM cums"""
        cast(n_chars AS bigint) AS c
 FROM ({stats}) st
 UNION ALL
-SELECT 'budget' AS op, doc_id, lang,
-       weight AS a, cum AS b, cast(kept AS bigint) AS c
-FROM ({budget}) bu
-UNION ALL
-SELECT 'mixture' AS op, doc_id, lang,
+SELECT t.op AS op, doc_id, lang,
        weight AS a, cum AS b,
-       cast(bud * 2 + (CASE WHEN cum - weight < bud THEN 1 ELSE 0 END)
-            AS bigint) AS c
-FROM ({budget}) mx"""
+       cast(CASE WHEN t.op = 'budget' THEN kept
+            ELSE bud * 2 + (CASE WHEN cum - weight < bud THEN 1 ELSE 0 END)
+            END AS bigint) AS c
+FROM ({budget}) bu
+CROSS JOIN (SELECT 'budget' AS op UNION ALL SELECT 'mixture') t"""
 
 
 def _mq_token_suite(spark, sf_dir):

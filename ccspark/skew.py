@@ -60,7 +60,18 @@ def cap_per_key(df: DataFrame, key: str, limit: int,
     one-window form (``cap_per_key_window``, kept as the parity
     anchor; equality asserted in tests).  The graded ``country_cap``
     template keeps the window rendering - DuckDB must reproduce it -
-    but every module/facade path routes here."""
+    but every module/facade path routes here.
+
+    Determinism precondition: *tiebreak* must be unique within a key.
+    Rows sharing a tiebreak value share the entire sort key (and the
+    same salt bucket), so row_number breaks their tie by physical
+    order - WHICH of the tied rows survives a boundary cut is then
+    arbitrary in this form, in the window anchor, and across runs
+    (the cap itself is always respected; full-duplicate rows are
+    unaffected since any choice yields the same output).  The pipeline
+    satisfies this by construction - url is unique after URL dedup -
+    but callers capping on a non-unique column should pre-dedup or
+    pick a unique tiebreak."""
     ords = [F.md5(F.col(tiebreak)).asc(), F.col(tiebreak).asc()]
     w1 = Window.partitionBy(key, "_salt").orderBy(*ords)
     w2 = Window.partitionBy(key).orderBy(*ords)

@@ -211,3 +211,26 @@ def test_char_plan_is_corpus_shuffle_free(spark):
     assert "SortMergeJoin" not in plan
     for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "gh" in ex or "doc_id" in ex
+
+
+def test_combined_plan_runs_word_grams_once(spark):
+    """decontaminate(char_n=...) must explode the corpus exactly twice
+    (word grams + char grams), with the char explode deriving from the
+    ORIGINAL docs: deriving it from the word-joined spine would drag a
+    third join (the word-hit rejoin) into the char branch's lineage -
+    Spark has no join elimination - and re-run the word subtree there."""
+    docs = spark.createDataFrame(
+        [(0, "intro " + _EVAL + " outro"), (1, _ZH_EVAL)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(_EVAL,), (_ZH_EVAL,)], "text string")
+    plan = decontam.decontaminate(
+        docs, bench, char_n=20)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # 4 explodes exactly: corpus word grams, corpus char grams, and the
+    # two benchmark gram-set builds - a 5th would be the corpus word
+    # explode re-run inside the char branch
+    assert plan.count("Generate explode") == 4, plan
+    # 4 broadcast joins exactly: word-bench, char-bench, and the two
+    # hit-count rejoins - a 5th would be the word rejoin re-executed
+    # inside the char branch
+    assert plan.count("BroadcastHashJoin") == 4, plan

@@ -855,3 +855,28 @@ def test_incremental_near_dups_param_mismatch_raises(spark):
     assert dedup._sig_meta(bare) == {}
     with pytest.raises(ValueError):
         dedup.incremental_near_dups(new, bare, bands=4)
+
+
+def test_banded_signatures_inherits_stamped_family(spark):
+    """Banding must INHERIT the signature table's stamped hash_family
+    (not clobber it with its own default): banding an md5 table with
+    default args previously re-stamped it xxhash64 and computed
+    xxhash64 digests over md5 string signatures - a later probe then
+    passed every stamped check and silently matched nothing.  An
+    explicitly contradictory family must raise."""
+    from ccspark import dedup
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{i}x{j}" for j in range(40)))
+         for i in range(4)])
+    sig_md5 = dedup.minhash_signature_table(docs, hash_family="md5")
+    banded = dedup.banded_signatures(sig_md5)     # family inferred: md5
+    assert dedup._sig_meta(banded)["ccspark_hash_family"] == "md5"
+    # md5-family band digests are hex strings, not xxhash64 bigints
+    assert dict(banded.dtypes)["digest"] == "string"
+    with pytest.raises(ValueError, match="hash_family"):
+        dedup.banded_signatures(sig_md5, hash_family="xxhash64")
+    # and the inherited banding round-trips through the probe
+    new = docs.limit(1).select((F.col("doc_id") + 50).alias("doc_id"),
+                               "text")
+    assert dedup.incremental_near_dups(
+        new, banded, hash_family="md5").count() == 0

@@ -241,3 +241,35 @@ def test_perplexity_qq_original_vs_cleaned(spark):
                for r in clean.groupBy("lang").count().collect()}
     for r in n_orig:  # the planted outlier is cut from the cleaned plot
         assert n_clean[r["lang"]] < r["count"], r["lang"]
+
+
+def test_qq_fit_degenerate_group_nulls_not_ansi_error(spark):
+    """A single-point group (routine in crawl-tail cells) has
+    var_pop(theoretical_q) = 0: under Spark 4's default ANSI mode a
+    plain 0.0/0.0 raises DIVIDE_BY_ZERO and kills the whole diagnostics
+    job - qq_fit must instead emit NULL slope/intercept for the
+    degenerate group (matching corr's NULL) and still fit healthy ones."""
+    rows = [("solo", 3.3)] + \
+           [("big", 2.0 * _ppf_as241(p) + 1.0) for p in _filliben(50)]
+    df = spark.createDataFrame(rows, "lang string, v double")
+    fit = {r["lang"]: r for r in
+           quality.qq_fit(quality.qq_points(df, "v", ("lang",)),
+                          ("lang",)).collect()}
+    assert fit["solo"]["slope"] is None
+    assert fit["solo"]["intercept"] is None
+    assert fit["solo"]["r"] is None
+    assert abs(fit["big"]["slope"] - 2.0) < 1e-6
+    assert abs(fit["big"]["intercept"] - 1.0) < 1e-6
+
+
+def test_qq_points_exact_rejects_degenerate_decimation(spark):
+    """n_points=1 would make the exact path's rank step divide by a
+    literal zero (an ANSI runtime error deep in the job) - it must be a
+    ValueError at call time; the approx path accepts n_points=1 (one
+    Hazen midpoint is well-defined)."""
+    import pytest
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    with pytest.raises(ValueError, match="n_points"):
+        quality.qq_points(df, "v", n_points=1)
+    got = quality.qq_points(df, "v", n_points=1, approx=True).collect()
+    assert len(got) == 1 and abs(got[0]["theoretical_q"]) < 5e-8

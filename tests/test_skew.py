@@ -77,3 +77,20 @@ def test_cap_per_key_no_full_key_window_on_input(spark):
     assert len(wins) == 2, plan
     assert "_salt" not in wins[0]          # phase 2: bare key
     assert "_salt" in wins[1], wins        # phase 1: salted
+
+
+def test_cap_per_key_duplicate_tiebreaks_cap_respected(spark):
+    """The documented determinism precondition is a unique tiebreak;
+    when it is violated (every hot row shares one url) WHICH tied row
+    survives is arbitrary, but the cap itself must hold exactly in both
+    the salted two-phase form and the window anchor - all ties share
+    one salt bucket, so phase 1 alone already enforces the limit."""
+    rows = [Row(domain="mega", url="https://mega.de/same", doc_id=i)
+            for i in range(30)] + \
+           [Row(domain="small", url=f"https://small.de/{i}", doc_id=i)
+            for i in range(5)]
+    df = spark.createDataFrame(rows)
+    for fn in (skew.cap_per_key, skew.cap_per_key_window):
+        sizes = {r.domain: r["count"] for r in
+                 fn(df, "domain", 20).groupBy("domain").count().collect()}
+        assert sizes == {"mega": 20, "small": 5}, fn.__name__
