@@ -2691,7 +2691,11 @@ def _mq_sign_lsh_suite(spark, sf_dir):
     ensure_views(spark, sf_dir)
     base = spark.sql(q_sign_lsh_suite(SPARK))
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    surv = similarity.dedup_near_embeddings(emb, threshold=EMB_ND_TH)
+    # pre_exact=False pins the graded branch to the direct-path parity
+    # anchor (plan bit-stability, the country_cap/window pattern); the
+    # facade/bench default is pre_exact=True since r6
+    surv = similarity.dedup_near_embeddings(emb, threshold=EMB_ND_TH,
+                                            pre_exact=False)
     branch = surv.select(
         F.lit("survivor").alias("op"),
         F.col("vec_id").alias("id_a"),

@@ -143,10 +143,14 @@ def test_dedup_near_embeddings(spark):
              embedding=r.embedding)
          for r in rows for c in range(10)])
     direct = {r.vec_id for r in similarity.dedup_near_embeddings(
-        many, threshold=0.9).collect()}
+        many, threshold=0.9, pre_exact=False).collect()}
     pre = {r.vec_id for r in similarity.dedup_near_embeddings(
         many, threshold=0.9, pre_exact=True).collect()}
     assert direct == pre == {0, 3, 4}, (direct, pre)
+    # the r6 facade DEFAULT is pre_exact=True: same survivors here
+    dflt = {r.vec_id for r in similarity.dedup_near_embeddings(
+        many, threshold=0.9).collect()}
+    assert dflt == pre, dflt
     # the per-bucket BLAS kernel: identical pairs and survivors (these
     # cosines sit nowhere near the round-4 threshold boundary)
     pa = {(r.vec_a, r.vec_b) for r in similarity.sign_lsh_pairs(
@@ -460,7 +464,7 @@ def test_sign_lsh_zero_norm_vectors_both_engines(spark):
             e, threshold=0.9, engine=engine).collect()}
         assert got == {(0, 1)}, engine
         kept = {r.vec_id for r in similarity.dedup_near_embeddings(
-            e, threshold=0.9, engine=engine).collect()}
+            e, threshold=0.9, engine=engine, pre_exact=False).collect()}
         assert kept == {0, 2, 3}, engine            # zero copies survive
         pre = {r.vec_id for r in similarity.dedup_near_embeddings(
             e, threshold=0.9, engine=engine, pre_exact=True).collect()}
