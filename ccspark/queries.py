@@ -78,8 +78,34 @@ def _posexplode_lines(d: str, src: str) -> str:
 
 
 def geo_pages_cte(d: str) -> str:
-    """pages -> host/tld/domain -> ccTLD join -> MNC anti-join."""
+    """pages -> host/tld/domain -> ccTLD join -> MNC anti-join.
+
+    Spark rendering binds host and (tld, domain) behind generator-
+    position evaluation barriers (``LATERAL VIEW explode(array(...))``):
+    plain projection columns get re-inlined by Spark-4 predicate
+    pushdown into BOTH dimension-join keys and the scan filter, so the
+    4-regex host chain was evaluated ~40x per page (inside every PSL
+    CASE arm of the join key - r6 plan audit, plans/r06).  A filter or
+    join key can only reference a generator OUTPUT attribute, never
+    push through it, so each expression now evaluates exactly once per
+    page.  Values are identical (exceptAll-verified both ways); the
+    DuckDB oracle keeps the plain-projection rendering."""
     host = geo.host_expr(d, "url")
+    if d == SPARK:
+        return f"""
+pages AS (SELECT * FROM {pages_subquery(d)} p),
+hosted AS (SELECT p.*, host FROM pages p
+           LATERAL VIEW explode(array({host})) th AS host),
+parsed AS (SELECT h.*, td.tld AS tld, td.domain AS domain FROM hosted h
+           LATERAL VIEW explode(array(named_struct(
+               'tld', {geo.tld_expr(d, 'host')},
+               'domain', {geo.domain_expr(d, 'host')}))) tp AS td),
+geo_pages AS (
+  SELECT pr.doc_id, pr.url, pr.lang, pr.text, pr.tld, pr.domain,
+         c.country, c.region
+  FROM parsed pr JOIN {dim(d, 'cctld')} c ON pr.tld = c.tld
+  WHERE pr.domain NOT IN (SELECT domain FROM {dim(d, 'url_filter')})
+)"""
     return f"""
 pages AS (SELECT * FROM {pages_subquery(d)} p),
 hosted AS (SELECT p.*, {host} AS host FROM pages p),
@@ -112,13 +138,28 @@ def corpus_lines_cte(d: str, page_filter: str | None = None,
         gate += (f",\ngated_pages AS (SELECT * FROM geo_pages "
                  f"WHERE {page_filter})")
         src = "gated_pages"
-    return f"""{geo_pages_cte(d)}{gate},
-raw_lines AS (SELECT * FROM {_posexplode_lines(d, src)} rl),
-cleaned_lines AS (
+    # Spark: the 9-regex clean chain goes in a generator position so the
+    # kept_lines rule predicates (which reference the cleaned text ~28x)
+    # see a generator-output attribute instead of re-inlining the chain
+    # per reference (the Spark-4 pushdown trap CLAUDE.md documents for
+    # the kernel; measured 28 chain copies -> 1 in the r6 plan audit,
+    # values exceptAll-identical).  DuckDB keeps the plain projection.
+    if d == SPARK:
+        cleaned_cte = f"""cleaned_lines AS (
+  SELECT doc_id, url, tld, domain, country, region, lang, pos, text
+  FROM raw_lines
+  LATERAL VIEW explode(array({cleaned})) tc AS text
+  WHERE length(raw_line) > 15
+),"""
+    else:
+        cleaned_cte = f"""cleaned_lines AS (
   SELECT doc_id, url, tld, domain, country, region, lang, pos,
          {cleaned} AS text
   FROM raw_lines WHERE length(raw_line) > 15
-),
+),"""
+    return f"""{geo_pages_cte(d)}{gate},
+raw_lines AS (SELECT * FROM {_posexplode_lines(d, src)} rl),
+{cleaned_cte}
 kept_lines AS (SELECT * FROM cleaned_lines WHERE {post}),
 numbered AS (
   SELECT *, row_number() OVER (PARTITION BY url ORDER BY pos) AS line_id,
@@ -135,8 +176,27 @@ corpus_lines AS (
 
 
 def verdict_lines_cte(d: str) -> str:
-    """All lines with keep verdict + drop_reason (for metrics queries)."""
+    """All lines with keep verdict + drop_reason (for metrics queries).
+
+    Spark: the clean chain is bound behind an explode(array(..)) barrier
+    first (see corpus_lines_cte) - keep + drop_reason together reference
+    the cleaned text ~24x and would otherwise each re-inline the full
+    chain.  Downstream queries must select named columns (they do), not
+    ``verdicts.*``, since the Spark rendering carries the extra bound
+    ``_cleaned`` column."""
     cleaned = kernel.cleaned_expr(d, "raw_line")
+    if d == SPARK:
+        return f"""{geo_pages_cte(d)},
+raw_lines AS (SELECT * FROM {_posexplode_lines(d, 'geo_pages')} rl),
+cleaned_v AS (
+  SELECT * FROM raw_lines
+  LATERAL VIEW explode(array({cleaned})) tc AS _cleaned
+),
+verdicts AS (
+  SELECT *, {kernel.keep_expr(d, 'raw_line', '_cleaned')} AS keep,
+         {kernel.drop_reason_expr(d, 'raw_line', '_cleaned')} AS drop_reason
+  FROM cleaned_v
+)"""
     return f"""{geo_pages_cte(d)},
 raw_lines AS (SELECT * FROM {_posexplode_lines(d, 'geo_pages')} rl),
 verdicts AS (
@@ -185,12 +245,20 @@ def q_dedup_keep_none(d: str) -> str:
     cleaned = kernel.cleaned_expr(d, "raw_line")
     rules = kernel.rule_exprs(d, "raw_line", "text")
     post = " AND ".join(rules[k] for k in kernel.RULE_ORDER[1:])
-    return f"""WITH {geo_pages_cte(d)},
-raw_lines AS (SELECT * FROM {_posexplode_lines(d, 'geo_pages')} rl),
-cleaned_lines AS (
+    if d == SPARK:    # generator-position barrier (see corpus_lines_cte)
+        cleaned_cte = f"""cleaned_lines AS (
+  SELECT url, pos, text FROM raw_lines
+  LATERAL VIEW explode(array({cleaned})) tc AS text
+  WHERE length(raw_line) > 15
+),"""
+    else:
+        cleaned_cte = f"""cleaned_lines AS (
   SELECT url, pos, {cleaned} AS text FROM raw_lines
   WHERE length(raw_line) > 15
-),
+),"""
+    return f"""WITH {geo_pages_cte(d)},
+raw_lines AS (SELECT * FROM {_posexplode_lines(d, 'geo_pages')} rl),
+{cleaned_cte}
 kept AS (SELECT * FROM cleaned_lines WHERE {post}),
 counted AS (
   SELECT *, count(*) OVER (PARTITION BY md5(text)) AS _c FROM kept
@@ -813,6 +881,28 @@ def q_pii_scrub(d: str) -> str:
            "'@mail.example.org or call +1 (555) 123-4567, card "
            "4111 1111 1111 1111 or 4111-1111-1111-1111, host "
            "10.0.42.7, ssn 987-65-4320 end')")
+    if d == SPARK:
+        # ONE pass: the injected PII line is PREPENDED to the split
+        # array, so a single posexplode yields it at pos 0 and real
+        # lines at their 1-based positions - the UNION rendering planned
+        # geo_pages (scan + host/tld regex) twice (r6 plan audit: 2
+        # scans -> 1).  The scrub chain sits in a generator position so
+        # the was_redacted comparison references the bound attribute
+        # instead of re-inlining the regex chain (values identical,
+        # exceptAll-verified; DuckDB keeps the UNION form).
+        arr = split_arr(d, "text", RE_LINE_SPLIT)
+        return f"""WITH {geo_pages_cte(d)},
+raw_lines AS (
+  SELECT url, pos, raw_line FROM geo_pages
+  LATERAL VIEW posexplode(concat(array({pii}), {arr})) t AS pos, raw_line
+),
+scrubbed AS (
+  SELECT url, pos, raw_line, scrubbed_line FROM raw_lines
+  LATERAL VIEW explode(array({s})) ts AS scrubbed_line
+)
+SELECT url, pos, scrubbed_line,
+       CASE WHEN raw_line = scrubbed_line THEN 0 ELSE 1 END AS was_redacted
+FROM scrubbed"""
     return f"""WITH {geo_pages_cte(d)},
 pii_lines AS (
   SELECT doc_id, url, tld, domain, country, region, lang,
@@ -1374,6 +1464,17 @@ def q_union_segments(d: str) -> str:
     digest per rec_type, against hashlib-precomputed VALUES in the
     oracle - the only reference PIPELINE stage that previously had no
     CORRECTNESS row."""
+    if d == SPARK:
+        # every page lands in exactly one branch, so the 2-branch UNION
+        # is a partition of geo_pages by doc_id parity - the single-pass
+        # CASE tag computes the identical row set while planning
+        # geo_pages (scan + host/tld regex chain) ONCE instead of twice
+        # (r6 plan audit: 2 scans -> 1; DuckDB keeps the UNION form)
+        return f"""WITH {geo_pages_cte(d)},
+unioned AS (SELECT *, CASE WHEN doc_id % 2 = 0 THEN 'seg_a' ELSE 'seg_b' END
+                        AS segment FROM geo_pages)
+SELECT segment, tld, count(*) AS n_pages, count(DISTINCT domain) AS n_domains
+FROM unioned GROUP BY segment, tld"""
     return f"""WITH {geo_pages_cte(d)},
 seg_a AS (SELECT *, 'seg_a' AS segment FROM geo_pages WHERE doc_id % 2 = 0),
 seg_b AS (SELECT *, 'seg_b' AS segment FROM geo_pages WHERE doc_id % 2 = 1),
