@@ -31,6 +31,37 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+def _scan_parts() -> int:
+    """Target partition count for under-partitioned base-table scans.
+    Parameterised, never hard-coded: CCSPARK_SCAN_PARTS overrides (0
+    disables the repartition entirely - the right setting when the
+    input already arrives well-split, e.g. a real multi-segment crawl);
+    default follows the driver's core count ($SPARK_GRAFT_CPUS), the
+    same knob bench.py sizes the session from."""
+    v = os.environ.get("CCSPARK_SCAN_PARTS")
+    if v is not None:
+        return int(v)
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def scan_src(d: str, table: str, key: str) -> str:
+    """Spark-side base-table scan guarded against single-split inputs
+    (optimization guide par.2.5): the fixture/driver parquet files are
+    one split, so every narrow map stage (shingle explodes, md5 hashing,
+    per-pair folds) otherwise runs on ONE core.  A deterministic hash
+    REPARTITION on the row key right after the read buys full map
+    parallelism, and - because the downstream per-key aggregates hash on
+    the same key - usually REPLACES their exchange rather than adding
+    one (ENSURE_REQUIREMENTS is satisfied by the explicit partitioning).
+    Measured 3.6-12x on the documents-family queries at bench scale.
+    The DuckDB rendering (single-process anyway) and the oracle text are
+    untouched."""
+    if d == SPARK and _scan_parts() > 0:
+        return (f"(SELECT /*+ REPARTITION({_scan_parts()}, {key}) */ * "
+                f"FROM {table})")
+    return table
+
+
 def dim(d: str, name: str) -> str:
     """Dimension CSV as a relation: Spark temp view / DuckDB read_csv."""
     if d == SPARK:
@@ -785,7 +816,9 @@ def q_word_ngrams(d: str, n: int = 2, top: int = 10) -> str:
     # words bound below the explode (inlined split re-evaluates per
     # element inside interpreted HOF lambdas - see dedup.shingles, r4)
     if d == SPARK:
-        dw = "(SELECT lang, split(text, ' ') AS w FROM documents)"
+        dw = (f"(SELECT lang, split(text, ' ') AS w "
+              f"FROM {scan_src(d, 'documents', 'doc_id')} sd)"
+              )
         grams = (f"transform(sequence(1, greatest(size(w) - {n - 1}, 1)),"
                  f" i -> concat_ws(' ', slice(w, i, {n})))")
         ex = (f"SELECT lang, gram FROM {dw} dw "
@@ -1175,6 +1208,8 @@ def _minhash_shingles(d: str, k: int = 3, src: str = "documents") -> str:
     are interpreted, so an inlined split re-evaluates per array element
     (measured 3.6x at sf1, r4 - see dedup.shingles)."""
     words = split_arr(d, "text", " ")
+    if src == "documents":          # single-split-input guard (scan_src)
+        src = scan_src(d, "documents", "doc_id")
     dw = f"(SELECT doc_id, {words} AS w FROM {src})"
     if d == SPARK:
         sh_arr = (f"transform(sequence(0, greatest(size(w) - {k}, 0)), "
@@ -1210,12 +1245,38 @@ def q_minhash_pairs(d: str) -> str:
     # signature aggregate once per band per join side - 8 recomputations)
     arr = "array(" + ", ".join(digest(bi * 3) for bi in range(4)) + ")"
     if d == SPARK:
-        bands = (f"SELECT doc_id, band, digest FROM sig "
-                 f"LATERAL VIEW posexplode({arr}) t AS band, digest")
-    else:
-        arr_d = "[" + ", ".join(digest(bi * 3) for bi in range(4)) + "]"
-        bands = (f"SELECT doc_id, generate_subscripts({arr_d}, 1) - 1 "
-                 f"AS band, unnest({arr_d}) AS digest FROM sig")
+        # signature columns RIDE THROUGH the banding explode (the r4
+        # dedup.minhash_near_dups plan shape): the band self-join's two
+        # sides then already carry both documents' m0..m11 and the
+        # jaccard estimate is computed inline - the rejoin-against-
+        # sa/sb form planned the whole shingle+md5+aggregate chain FOUR
+        # times (2 of them behind broadcasts AQE could not reuse).  The
+        # two remaining identical join-side exchange subtrees collapse
+        # to one map stage at runtime (ReusedExchange).  DISTINCT
+        # replaces the pair-level DISTINCT: a pair sharing several
+        # bands repeats with the SAME estimate, so the value set is
+        # unchanged (oracle-verified).  DuckDB keeps the rejoin form.
+        mcols = ", ".join(f"m{i}" for i in range(12))
+        agree_ab = " + ".join(
+            f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+            for i in range(12))
+        return f"""WITH hashed AS (
+  SELECT doc_id, {h32} AS h FROM {sh} q WHERE length(shingle) > 0
+),
+sig AS (
+  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+),
+digests AS (
+  SELECT doc_id, {mcols}, band, digest FROM sig
+  LATERAL VIEW posexplode({arr}) t AS band, digest
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(({agree_ab}) * 1e0 / 12, 4) AS jaccard_est
+FROM digests a JOIN digests b
+  ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id"""
+    arr_d = "[" + ", ".join(digest(bi * 3) for bi in range(4)) + "]"
+    bands = (f"SELECT doc_id, generate_subscripts({arr_d}, 1) - 1 "
+             f"AS band, unnest({arr_d}) AS digest FROM sig")
     agree = " + ".join(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(12))
     return f"""WITH hashed AS (
@@ -1245,7 +1306,7 @@ def q_simhash(d: str) -> str:
     unnest_w = (
         f"(SELECT doc_id, unnest({words}) AS w FROM documents)"
         if d == DUCK else
-        f"(SELECT doc_id, w FROM documents "
+        f"(SELECT doc_id, w FROM {scan_src(d, 'documents', 'doc_id')} sd "
         f"LATERAL VIEW explode({words}) t AS w)"
     )
     bit_sums = ", ".join(
@@ -1288,13 +1349,14 @@ def q_knn_cosine(d: str) -> str:
         cos = ("round(list_cosine_similarity(a.embedding::DOUBLE[], "
                "b.embedding::DOUBLE[]), 4)")
     hint = "/*+ BROADCAST(a) */ " if d == SPARK else ""
+    emb = scan_src(d, "embeddings", "vec_id")
     return f"""WITH q AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3
 ),
 pairs AS (
   SELECT {hint}a.vec_id AS query_id, b.vec_id AS neighbor_id,
          b.label AS neighbor_label, {cos} AS cosine
-  FROM q a JOIN embeddings b ON b.vec_id <> a.vec_id
+  FROM q a JOIN {emb} b ON b.vec_id <> a.vec_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1431,7 +1493,8 @@ def q_doc_fingerprint(d: str) -> str:
     # words bound below the explode (inlined split re-evaluates per
     # element inside interpreted HOF lambdas - see dedup.shingles, r4)
     words = split_arr(d, "text", " ")
-    dw = f"(SELECT doc_id, {words} AS w FROM documents)"
+    dw = (f"(SELECT doc_id, {words} AS w "
+          f"FROM {scan_src(d, 'documents', 'doc_id')} sd)")
     k, w = 4, 4
     if d == SPARK:
         sh_arr = (f"transform(sequence(0, greatest(size(w) - {k}, 0)), "
@@ -1657,7 +1720,8 @@ def q_char_repetition(d: str) -> str:
     max run >= 4 or distinct ratio < 0.2 as repetition spam."""
     words = split_arr(d, "text", " ")
     if d == SPARK:
-        toks = (f"(SELECT doc_id, pos + 1 AS pos, w FROM documents "
+        toks = (f"(SELECT doc_id, pos + 1 AS pos, w "
+                f"FROM {scan_src(d, 'documents', 'doc_id')} sd "
                 f"LATERAL VIEW posexplode({words}) t AS pos, w)")
     else:
         toks = (f"(SELECT doc_id, generate_subscripts({words}, 1) AS pos, "
