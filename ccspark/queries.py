@@ -1377,17 +1377,38 @@ def q_ann_sign_lsh(d: str) -> str:
             f"CASE WHEN {idx(e, i)} >= 0 THEN '1' ELSE '0' END"
             for i in (1, 9, 17, 25, 33, 41, 49, 57)) + ")")
     if d == SPARK:
-        dot = ("aggregate(zip_with(cast(a.embedding as array<double>), "
-               "cast(b.embedding as array<double>), "
+        # r6: the double cast and the norm fold are bound to per-side
+        # projection columns BELOW the self-join (the r4 HOF-binding
+        # rule the module sign_lsh_pairs already follows): inline they
+        # re-evaluated once per PAIR - O(pairs) interpreted array folds
+        # instead of O(rows).  Same expressions, same arithmetic, so
+        # cosines are bitwise identical (oracle-verified); the cast is
+        # additionally behind a generator barrier so the norm
+        # references the attribute, not a second copy of the cast.
+        dot = ("aggregate(zip_with(a._v, b._v, "
                "(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
-        na = ("sqrt(aggregate(transform(cast(a.embedding as array<double>), "
-              "x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))")
-        nb = ("sqrt(aggregate(transform(cast(b.embedding as array<double>), "
-              "x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))")
-        cos = f"round({dot} / ({na} * {nb}), 4)"
-    else:
-        cos = ("round(list_cosine_similarity(a.embedding::DOUBLE[], "
-               "b.embedding::DOUBLE[]), 4)")
+        cos = f"round({dot} / (a._n * b._n), 4)"
+        return f"""WITH bucketed AS (
+  SELECT vec_id, label, {bucket('embedding')} AS bucket, _v,
+         sqrt(aggregate(transform(_v, x -> x * x), cast(0.0 as double),
+              (acc, v) -> acc + v)) AS _n
+  FROM {scan_src(d, 'embeddings', 'vec_id')} e
+  LATERAL VIEW explode(array(cast(embedding as array<double>))) tv AS _v
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
+         {cos} AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < 3 AND b.vec_id <> a.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, bucket, cosine, rk FROM ranked WHERE rk <= 3"""
+    cos = ("round(list_cosine_similarity(a.embedding::DOUBLE[], "
+           "b.embedding::DOUBLE[]), 4)")
     return f"""WITH bucketed AS (
   SELECT vec_id, label, embedding, {bucket('embedding')} AS bucket
   FROM embeddings
@@ -1423,17 +1444,29 @@ def q_embedding_near_dups(d: str) -> str:
             f"CASE WHEN {idx(e, i)} >= 0 THEN '1' ELSE '0' END"
             for i in (1, 9, 17, 25, 33, 41, 49, 57)) + ")")
     if d == SPARK:
-        dot = ("aggregate(zip_with(cast(a.embedding as array<double>), "
-               "cast(b.embedding as array<double>), "
+        # per-side bound cast+norm, generator barrier - see
+        # q_ann_sign_lsh (same rationale, bitwise-identical cosines)
+        dot = ("aggregate(zip_with(a._v, b._v, "
                "(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
-        na = ("sqrt(aggregate(transform(cast(a.embedding as array<double>), "
-              "x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))")
-        nb = ("sqrt(aggregate(transform(cast(b.embedding as array<double>), "
-              "x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))")
-        cos = f"round({dot} / ({na} * {nb}), 4)"
-    else:
-        cos = ("round(list_cosine_similarity(a.embedding::DOUBLE[], "
-               "b.embedding::DOUBLE[]), 4)")
+        cos = f"round({dot} / (a._n * b._n), 4)"
+        return f"""WITH bucketed AS (
+  SELECT vec_id, label, {bucket('embedding')} AS bucket, _v,
+         sqrt(aggregate(transform(_v, x -> x * x), cast(0.0 as double),
+              (acc, v) -> acc + v)) AS _n
+  FROM {scan_src(d, 'embeddings', 'vec_id')} e
+  LATERAL VIEW explode(array(cast(embedding as array<double>))) tv AS _v
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.label AS label_a, b.label AS label_b, cosine
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  LATERAL VIEW explode(array({cos})) tc AS cosine
+)
+SELECT vec_a, vec_b, label_a, label_b, cosine
+FROM pairs WHERE cosine >= {EMB_ND_TH}"""
+    cos = ("round(list_cosine_similarity(a.embedding::DOUBLE[], "
+           "b.embedding::DOUBLE[]), 4)")
     return f"""WITH bucketed AS (
   SELECT vec_id, label, embedding, {bucket('embedding')} AS bucket
   FROM embeddings
