@@ -1131,6 +1131,71 @@ def q_perplexity_outliers(d: str) -> str:
         f"LATERAL VIEW explode({words}) t AS w)"
     )
     rep_doc = " ".join(["the"] * 60)
+    if d == SPARK:
+        # r6 FUSED rendering: the rejoin form planned the pages explode
+        # 12x (stats/mad/scored/qq_ranked each re-derive doc_ll ->
+        # toks -> pages; runtime exchange reuse recovered only part of
+        # it).  One doc_ll pass instead: corpus total as a window over
+        # vocab (same sum), per-lang median/MAD/rank/count as windows
+        # over doc_ll (same groups, same median function -> identical
+        # values), and the scored+QQ tag-union emitted by ONE
+        # two-element struct explode per doc_ll row (each row yields
+        # exactly one scored and one QQ row, so the union IS a per-row
+        # duplication).  The Acklam inputs (pp, ql, qh, qm, rr) are
+        # bound behind the struct-explode barrier per the
+        # norm_ppf_case_sql contract - attribute reads, no re-inlined
+        # sqrt/ln trees.  DuckDB keeps the rejoin rendering; all values
+        # hash-identical (oracle MATCH, plain + hostile).
+        z_s = "round(0.6745 * (loglik - med) / mad_v, 4)"
+        pp = ("CASE WHEN rk = 1 THEN 1e0 - power(5e-1, 1e0 / n) "
+              "WHEN rk = n THEN power(5e-1, 1e0 / n) "
+              "ELSE (rk - 3.175e-1) / (n + 3.65e-1) END")
+        return f"""WITH real_pages AS (SELECT * FROM {pages_subquery(d)} p),
+pages AS (
+  SELECT doc_id, lang, text FROM real_pages
+  UNION ALL
+  SELECT cast(-1 AS bigint) AS doc_id, 'en' AS lang, '{rep_doc}' AS text
+),
+toks AS (SELECT * FROM {unnest_w} u WHERE length(w) > 0),
+vocab AS (
+  SELECT w, count(*) AS cnt FROM toks GROUP BY w
+),
+vocab_t AS (SELECT w, cnt, sum(cnt) OVER () AS n FROM vocab),
+doc_ll AS (
+  SELECT t.doc_id, t.lang,
+         round(avg(ln(v.cnt * 1e0 / v.n)), 4) AS loglik
+  FROM toks t JOIN vocab_t v ON t.w = v.w
+  GROUP BY t.doc_id, t.lang
+),
+win AS (
+  SELECT doc_id, lang, loglik,
+         median(loglik) OVER (PARTITION BY lang) AS med,
+         row_number() OVER (PARTITION BY lang ORDER BY loglik) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM doc_ll
+),
+win2 AS (
+  SELECT *, median(abs(loglik - med)) OVER (PARTITION BY lang) AS mad_v
+  FROM win
+),
+qq_in AS (
+  SELECT doc_id, lang, loglik, {z_s} AS z, rk, b.pp, b.ql, b.qh, b.qm, b.rr
+  FROM win2
+  LATERAL VIEW explode(array(named_struct(
+    'pp', {pp},
+    'ql', sqrt(-2e0 * ln({pp})),
+    'qh', sqrt(-2e0 * ln(1e0 - {pp})),
+    'qm', {pp} - 5e-1,
+    'rr', ({pp} - 5e-1) * ({pp} - 5e-1)))) tb AS b
+)
+SELECT duo.doc_id, lang, loglik, duo.z, duo.prediction
+FROM qq_in
+LATERAL VIEW explode(array(
+  named_struct('doc_id', doc_id, 'z', z, 'prediction',
+    CASE WHEN z > 3 THEN 'HIGH' WHEN z < -3 THEN 'LOW' ELSE 'IN' END),
+  named_struct('doc_id', cast(rk AS bigint),
+    'z', round({quality.norm_ppf_case_sql('pp', 'ql', 'qh', 'qm', 'rr')}, 4),
+    'prediction', 'QQ'))) td AS duo"""
     return f"""WITH real_pages AS (SELECT * FROM {pages_subquery(d)} p),
 pages AS (
   SELECT doc_id, lang, text FROM real_pages
