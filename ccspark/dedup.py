@@ -102,6 +102,8 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 3,
     measured 3.6x slowdown (r4; the words array was re-split ~50 times
     per doc).  Same rule for every HOF in the SQL templates: compute the
     array in a CTE, reference the column."""
+    from ccspark.skew import ensure_min_partitions
+    df = ensure_min_partitions(df, key=id_col)
     words = df.select(id_col, F.split(F.col(text_col), " ").alias("_w"))
     wcol = F.col("_w")
     idx = F.sequence(F.lit(0), F.greatest(F.size(wcol) - k, F.lit(0)))
@@ -138,6 +140,8 @@ def _word_hash_kgrams(docs: DataFrame, text_col: str, k: int,
     Spark-4 re-inlining family as the kernel eval barrier).  With the
     expression inline the rule skips non-attribute generators and no
     duplicate evaluation exists (plan-asserted in tests)."""
+    from ccspark.skew import ensure_min_partitions
+    docs = ensure_min_partitions(docs, key=id_col)
     words = docs.select(F.col(id_col).alias(id_col),
                         F.split(F.col(text_col), " ").alias("_t"))
     wh = words.select(id_col,
@@ -198,6 +202,8 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
                 .agg(F.min("_h").alias("fingerprint")))
         return (wins.groupBy("doc_id", "fingerprint")
                 .agg(F.count("*").cast("bigint").alias("n_windows")))
+    from ccspark.skew import ensure_min_partitions
+    docs = ensure_min_partitions(docs, key=id_col)
     words = docs.select(F.col(id_col).alias("doc_id"),
                         F.split(F.col(text_col), " ").alias("_w"))
     wcol = F.col("_w")
@@ -359,6 +365,8 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16,
     Same majority-vote structure, different concrete fingerprints -
     near-dup behavior (small Hamming distance for similar docs) is
     family-independent and pytest-asserted."""
+    from ccspark.skew import ensure_min_partitions
+    docs = ensure_min_partitions(docs, key=id_col)
     words = docs.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
     if hash_family == "xxhash64":
