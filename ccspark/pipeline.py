@@ -44,9 +44,21 @@ def with_geo(pages: DataFrame,
     (cc_corpus.py:205-208)."""
     spark = pages.sparkSession
     host = geo.host_expr(SPARK, "url")
-    df = pages.withColumn("host", F.expr(host))
-    df = df.withColumn("tld", F.expr(geo.tld_expr(SPARK, "host")))
-    df = df.withColumn("domain", F.expr(geo.domain_expr(SPARK, "host")))
+    # host and (tld, domain) are bound behind generator-position
+    # evaluation barriers (explode of a 1-element array), not plain
+    # withColumn projections: Spark-4 pushdown re-inlines projection
+    # columns into the dimension-join keys and the scan's isnotnull
+    # filter, re-evaluating the 4-regex host chain inside every PSL
+    # CASE arm (~40x per page - same fix as the SQL geo_pages_cte,
+    # values identical, r6).
+    df = pages.select(
+        "*", F.explode(F.array(F.expr(host))).alias("host"))
+    td = F.struct(F.expr(geo.tld_expr(SPARK, "host")).alias("tld"),
+                  F.expr(geo.domain_expr(SPARK, "host")).alias("domain"))
+    df = (df.select("*", F.explode(F.array(td)).alias("_td"))
+          .withColumn("tld", F.col("_td.tld"))
+          .withColumn("domain", F.col("_td.domain"))
+          .drop("_td"))
     dim = geo.cctld_dim(spark)
     if countries_to_skip:
         dim = dim.where(~F.col("country").isin(*countries_to_skip))
