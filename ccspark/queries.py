@@ -1310,21 +1310,28 @@ def q_minhash_pairs(d: str) -> str:
     # signature aggregate once per band per join side - 8 recomputations)
     arr = "array(" + ", ".join(digest(bi * 3) for bi in range(4)) + ")"
     if d == SPARK:
-        # signature columns RIDE THROUGH the banding explode (the r4
-        # dedup.minhash_near_dups plan shape): the band self-join's two
-        # sides then already carry both documents' m0..m11 and the
-        # jaccard estimate is computed inline - the rejoin-against-
-        # sa/sb form planned the whole shingle+md5+aggregate chain FOUR
-        # times (2 of them behind broadcasts AQE could not reuse).  The
-        # two remaining identical join-side exchange subtrees collapse
-        # to one map stage at runtime (ReusedExchange).  DISTINCT
-        # replaces the pair-level DISTINCT: a pair sharing several
-        # bands repeats with the SAME estimate, so the value set is
-        # unchanged (oracle-verified).  DuckDB keeps the rejoin form.
-        mcols = ", ".join(f"m{i}" for i in range(12))
-        agree_ab = " + ".join(
-            f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+        # r6: signature columns RIDE THROUGH the banding explode (the
+        # r4 dedup.minhash_near_dups lesson) and candidate pairs come
+        # from a per-(band, digest) collect_list + stacked explodes
+        # instead of a self-join: the old rejoin-against-sa/sb form
+        # planned the whole shingle+md5+aggregate chain FOUR times, and
+        # even the carried-signature self-join still computed it twice
+        # (broadcast build + streamed side; AQE exchange reuse did not
+        # fire across the CTE copies).  The bucket form references the
+        # chain ONCE.  Memory per bucket row is O(bucket size) - the
+        # stacked explodes stream pairs row-at-a-time, never
+        # materializing the quadratic pair array - and bucket size is
+        # bounded by per-band duplicate multiplicity (production
+        # near-dup removal additionally collapses exact copies first:
+        # dedup.dedup_near pre_exact).  A pair sharing several bands
+        # repeats with the SAME estimate, so DISTINCT yields the
+        # identical value set (oracle-verified).  DuckDB keeps the
+        # rejoin form.
+        mstruct = ", ".join(f"'m{i}', m{i}" for i in range(12))
+        agree_ap = " + ".join(
+            f"(CASE WHEN a.m{i} = p.m{i} THEN 1 ELSE 0 END)"
             for i in range(12))
+        mcols = ", ".join(f"m{i}" for i in range(12))
         return f"""WITH hashed AS (
   SELECT doc_id, {h32} AS h FROM {sh} q WHERE length(shingle) > 0
 ),
@@ -1334,11 +1341,20 @@ sig AS (
 digests AS (
   SELECT doc_id, {mcols}, band, digest FROM sig
   LATERAL VIEW posexplode({arr}) t AS band, digest
+),
+buckets AS (
+  SELECT band, digest,
+         collect_list(named_struct('i', doc_id, {mstruct})) AS ds
+  FROM digests GROUP BY band, digest
+),
+pp AS (
+  SELECT a.i AS doc_a, p.i AS doc_b, {agree_ap} AS agree
+  FROM buckets
+  LATERAL VIEW explode(ds) ta AS a
+  LATERAL VIEW explode(filter(ds, b -> b.i > a.i)) tb AS p
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(({agree_ab}) * 1e0 / 12, 4) AS jaccard_est
-FROM digests a JOIN digests b
-  ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id"""
+SELECT DISTINCT doc_a, doc_b, round(agree * 1e0 / 12, 4) AS jaccard_est
+FROM pp"""
     arr_d = "[" + ", ".join(digest(bi * 3) for bi in range(4)) + "]"
     bands = (f"SELECT doc_id, generate_subscripts({arr_d}, 1) - 1 "
              f"AS band, unnest({arr_d}) AS digest FROM sig")
