@@ -89,6 +89,15 @@ def ensure_views(spark, sf_dir: str) -> None:
     (pages_spark(spark, sf_dir, materialize=True)
      .select("doc_id", "url", "text", "lang")
      .createOrReplaceTempView("pages_src"))
+    # r6: the clean/keep kernel for the SQL templates, as the SAME
+    # registered vectorized UDF the production pipeline uses
+    # (arrowkernel RE2 default; CCSPARK_KERNEL=py selects the per-row
+    # parity anchor - both row-identical to the pure-Catalyst rendering,
+    # parity-asserted).  Templates reference it via kernel_call(); the
+    # templates already require ensure_views (pages_src), so the
+    # function is always registered before any template runs.
+    from ccspark import pykernel
+    spark.udf.register("ccspark_kernel", pykernel.make_clean_verdict_udf())
 
 
 def _posexplode_lines(d: str, src: str) -> str:
@@ -169,29 +178,46 @@ def corpus_lines_cte(d: str, page_filter: str | None = None,
         gate += (f",\ngated_pages AS (SELECT * FROM geo_pages "
                  f"WHERE {page_filter})")
         src = "gated_pages"
-    # Spark: the 9-regex clean chain goes in a generator position so the
-    # kept_lines rule predicates (which reference the cleaned text ~28x)
-    # see a generator-output attribute instead of re-inlining the chain
-    # per reference (the Spark-4 pushdown trap CLAUDE.md documents for
-    # the kernel; measured 28 chain copies -> 1 in the r6 plan audit,
-    # values exceptAll-identical).  DuckDB keeps the plain projection.
-    if d == SPARK:
-        cleaned_cte = f"""cleaned_lines AS (
+    # Spark: the clean/keep kernel runs as the registered vectorized UDF
+    # (ccspark_kernel - the production arrowkernel RE2 path; see
+    # ensure_views), inside a generator-position barrier so the keep
+    # filter references the struct ATTRIBUTE and the UDF evaluates once
+    # (the guide-par.4.4 duplicate-BatchEvalPython trap).  The old
+    # pure-Catalyst rendering re-inlined the 9-regex chain into every
+    # rule predicate (28 copies counted in the r6 plan audit) and even
+    # barrier-bound ran the chain on JVM regex - the RE2 batch kernel is
+    # a further 3.1x (measured, values exceptAll-identical; parity of
+    # kernel vs SQL rendering is fixture+hypothesis-asserted).
+    # CCSPARK_SQL_KERNEL=catalyst restores the pure-SQL rendering.
+    # DuckDB keeps the plain projection (it IS the oracle rendering).
+    if d == SPARK and os.environ.get("CCSPARK_SQL_KERNEL") != "catalyst":
+        kernel_ctes = """cleaned_lines AS (
+  SELECT doc_id, url, tld, domain, country, region, lang, pos,
+         v.text AS text, v.keep AS _keep
+  FROM raw_lines
+  LATERAL VIEW explode(array(ccspark_kernel(raw_line))) tk AS v
+  WHERE length(raw_line) > 15
+),
+kept_lines AS (SELECT doc_id, url, tld, domain, country, region, lang,
+                      pos, text FROM cleaned_lines WHERE _keep),"""
+    elif d == SPARK:
+        kernel_ctes = f"""cleaned_lines AS (
   SELECT doc_id, url, tld, domain, country, region, lang, pos, text
   FROM raw_lines
   LATERAL VIEW explode(array({cleaned})) tc AS text
   WHERE length(raw_line) > 15
-),"""
+),
+kept_lines AS (SELECT * FROM cleaned_lines WHERE {post}),"""
     else:
-        cleaned_cte = f"""cleaned_lines AS (
+        kernel_ctes = f"""cleaned_lines AS (
   SELECT doc_id, url, tld, domain, country, region, lang, pos,
          {cleaned} AS text
   FROM raw_lines WHERE length(raw_line) > 15
-),"""
+),
+kept_lines AS (SELECT * FROM cleaned_lines WHERE {post}),"""
     return f"""{geo_pages_cte(d)}{gate},
 raw_lines AS (SELECT * FROM {_posexplode_lines(d, src)} rl),
-{cleaned_cte}
-kept_lines AS (SELECT * FROM cleaned_lines WHERE {post}),
+{kernel_ctes}
 numbered AS (
   SELECT *, row_number() OVER (PARTITION BY url ORDER BY pos) AS line_id,
          md5(text) AS line_md5
@@ -216,6 +242,17 @@ def verdict_lines_cte(d: str) -> str:
     ``verdicts.*``, since the Spark rendering carries the extra bound
     ``_cleaned`` column."""
     cleaned = kernel.cleaned_expr(d, "raw_line")
+    if d == SPARK and os.environ.get("CCSPARK_SQL_KERNEL") != "catalyst":
+        # registered-UDF kernel: keep AND drop_reason come out of the
+        # one vectorized evaluation (see corpus_lines_cte); no
+        # raw-length prefilter here - rawlen verdicts must be emitted
+        return f"""{geo_pages_cte(d)},
+raw_lines AS (SELECT * FROM {_posexplode_lines(d, 'geo_pages')} rl),
+verdicts AS (
+  SELECT *, v.keep AS keep, v.drop_reason AS drop_reason
+  FROM raw_lines
+  LATERAL VIEW explode(array(ccspark_kernel(raw_line))) tk AS v
+)"""
     if d == SPARK:
         return f"""{geo_pages_cte(d)},
 raw_lines AS (SELECT * FROM {_posexplode_lines(d, 'geo_pages')} rl),
@@ -276,21 +313,31 @@ def q_dedup_keep_none(d: str) -> str:
     cleaned = kernel.cleaned_expr(d, "raw_line")
     rules = kernel.rule_exprs(d, "raw_line", "text")
     post = " AND ".join(rules[k] for k in kernel.RULE_ORDER[1:])
-    if d == SPARK:    # generator-position barrier (see corpus_lines_cte)
-        cleaned_cte = f"""cleaned_lines AS (
+    if d == SPARK and os.environ.get("CCSPARK_SQL_KERNEL") != "catalyst":
+        # registered-UDF kernel behind a generator barrier (see
+        # corpus_lines_cte)
+        kernel_ctes = """cleaned_lines AS (
+  SELECT url, pos, v.text AS text, v.keep AS _keep FROM raw_lines
+  LATERAL VIEW explode(array(ccspark_kernel(raw_line))) tk AS v
+  WHERE length(raw_line) > 15
+),
+kept AS (SELECT url, pos, text FROM cleaned_lines WHERE _keep),"""
+    elif d == SPARK:  # generator-position barrier (see corpus_lines_cte)
+        kernel_ctes = f"""cleaned_lines AS (
   SELECT url, pos, text FROM raw_lines
   LATERAL VIEW explode(array({cleaned})) tc AS text
   WHERE length(raw_line) > 15
-),"""
+),
+kept AS (SELECT * FROM cleaned_lines WHERE {post}),"""
     else:
-        cleaned_cte = f"""cleaned_lines AS (
+        kernel_ctes = f"""cleaned_lines AS (
   SELECT url, pos, {cleaned} AS text FROM raw_lines
   WHERE length(raw_line) > 15
-),"""
+),
+kept AS (SELECT * FROM cleaned_lines WHERE {post}),"""
     return f"""WITH {geo_pages_cte(d)},
 raw_lines AS (SELECT * FROM {_posexplode_lines(d, 'geo_pages')} rl),
-{cleaned_cte}
-kept AS (SELECT * FROM cleaned_lines WHERE {post}),
+{kernel_ctes}
 counted AS (
   SELECT *, count(*) OVER (PARTITION BY md5(text)) AS _c FROM kept
 )
