@@ -191,6 +191,30 @@ def verdict_batch(raw):
     return text, keep, reason
 
 
+def make_scrub_udf():
+    """The PII scrub chain (scrub.SCRUB_STEPS, the ONE ordered
+    definition) as a whole-batch Arrow/RE2 UDF: raw line -> scrubbed
+    line.  Byte-identical to the Catalyst regexp_replace chain by the
+    same argument as the kernel above - every pattern is already
+    RE2-evaluated bitwise-identically by the DuckDB oracle, and the
+    replacements carry no backreferences."""
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    from ccspark.scrub import SCRUB_STEPS
+
+    def scrub_batch(raw: "pandas.Series") -> "pandas.Series":
+        arr = pa.Array.from_pandas(raw, type=pa.string())
+        for _, pat, repl in SCRUB_STEPS:
+            arr = pc.replace_substring_regex(
+                arr, pattern=pat, replacement=repl)
+        return arr.to_pandas()
+
+    scrub_batch.__annotations__ = {
+        "raw": pandas.Series, "return": pandas.Series}
+    return pandas_udf(scrub_batch, "string")
+
+
 def make_clean_verdict_udf():
     """Drop-in replacement for pykernel.make_clean_verdict_udf: same
     output struct, whole-batch Arrow/RE2 evaluation."""

@@ -96,8 +96,9 @@ def ensure_views(spark, sf_dir: str) -> None:
     # parity-asserted).  Templates reference it via kernel_call(); the
     # templates already require ensure_views (pages_src), so the
     # function is always registered before any template runs.
-    from ccspark import pykernel
+    from ccspark import arrowkernel, pykernel
     spark.udf.register("ccspark_kernel", pykernel.make_clean_verdict_udf())
+    spark.udf.register("ccspark_scrub", arrowkernel.make_scrub_udf())
 
 
 def _posexplode_lines(d: str, src: str) -> str:
@@ -971,6 +972,9 @@ def q_pii_scrub(d: str) -> str:
         # instead of re-inlining the regex chain (values identical,
         # exceptAll-verified; DuckDB keeps the UNION form).
         arr = split_arr(d, "text", RE_LINE_SPLIT)
+        scrub_call = ("ccspark_scrub(raw_line)"
+                      if os.environ.get("CCSPARK_SQL_KERNEL") != "catalyst"
+                      else s)
         return f"""WITH {geo_pages_cte(d)},
 raw_lines AS (
   SELECT url, pos, raw_line FROM geo_pages
@@ -978,7 +982,7 @@ raw_lines AS (
 ),
 scrubbed AS (
   SELECT url, pos, raw_line, scrubbed_line FROM raw_lines
-  LATERAL VIEW explode(array({s})) ts AS scrubbed_line
+  LATERAL VIEW explode(array({scrub_call})) ts AS scrubbed_line
 )
 SELECT url, pos, scrubbed_line,
        CASE WHEN raw_line = scrubbed_line THEN 0 ELSE 1 END AS was_redacted
