@@ -122,10 +122,14 @@ def char_gram_array(d: str, s: str, n: int = DEFAULT_CHAR_N) -> str:
     binding rule); ``length(s)`` sits in the ARGUMENT position and is
     evaluated once.  Streams shorter than *n* chars yield an empty set:
     the guarded sequence emits one short slice, dropped by the exact-
-    length filter.  ``substring``/``length`` count code points
+    length filter.  ``substring``/``length`` count CODE POINTS
     identically in Spark and DuckDB, so the rendering is dual-dialect
-    by construction (CJK is BMP; astral symbols are not \\p{L}\\p{N} and
-    never reach the stream)."""
+    by construction - including supplementary-plane letters: CJK
+    Extension B+ ideographs (U+20000+) ARE ``\\p{L}``, survive the
+    normalization, and occupy exactly one code-point position in both
+    engines (r6 ADVICE fix: the earlier comment wrongly claimed astral
+    chars never reach the stream; agreement is now asserted in
+    tests/test_decontam.py::test_char_grams_supplementary_plane)."""
     if d == SPARK:
         raw = (f"transform(sequence(1, greatest(length({s}) - {n - 1}, 1)),"
                f" i -> substring({s}, i, {n}))")

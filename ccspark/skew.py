@@ -88,6 +88,11 @@ def cap_per_key(df: DataFrame, key: str, limit: int,
     template keeps the window rendering - DuckDB must reproduce it -
     but every module/facade path routes here.
 
+    Reserved temp columns: ``_salt`` and ``_rk`` are created via
+    withColumn and dropped on exit - same-named INPUT columns would be
+    silently clobbered (``salted_counts`` shares the ``_salt``
+    convention).  Rename such columns before calling (r6 ADVICE note).
+
     Determinism precondition: *tiebreak* must be unique within a key.
     Rows sharing a tiebreak value share the entire sort key (and the
     same salt bucket), so row_number breaks their tie by physical

@@ -234,3 +234,43 @@ def test_combined_plan_runs_word_grams_once(spark):
     # hit-count rejoins - a 5th would be the word rejoin re-executed
     # inside the char branch
     assert plan.count("BroadcastHashJoin") == 4, plan
+
+
+def test_char_grams_supplementary_plane(spark, duck):
+    """CJK Extension B+ ideographs (U+20000+) ARE \\p{L}: they survive
+    normalization and must occupy exactly ONE code-point position in
+    BOTH engines (r6 ADVICE fix - the old char_gram_array comment
+    claimed astral chars never reach the stream).  Asserts stream
+    length and the full gram array agree bitwise across dialects."""
+    from ccspark.sqlgen import DUCK
+    ext_b = "".join(chr(0x20000 + i) for i in range(12))   # 𠀀𠀁...
+    texts = [
+        ext_b + "春江潮水连海平海上明月共潮生",        # astral + BMP mix
+        "abc " + ext_b + " xyz0123456789",               # astral + ascii
+        ext_b,                                            # astral only
+    ]
+    n = 8
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "i int, t string")
+    sdf.createOrReplaceTempView("sp_in")
+    expr_s = decontam.char_gram_array(
+        SPARK, decontam.char_stream(SPARK, "t"), n)
+    got_s = dict(spark.sql(
+        f"SELECT i, concat_ws('|', {expr_s}) FROM sp_in").collect())
+    len_s = dict(spark.sql(
+        f"SELECT i, length({decontam.char_stream(SPARK, 't')}) "
+        f"FROM sp_in").collect())
+    duck.execute("CREATE OR REPLACE TABLE sp_in AS "
+                 "SELECT * FROM (VALUES (0, '')) x(i, t) WHERE false")
+    duck.executemany("INSERT INTO sp_in VALUES (?, ?)", rows)
+    expr_d = decontam.char_gram_array(
+        DUCK, decontam.char_stream(DUCK, "t"), n)
+    got_d = dict(duck.sql(
+        f"SELECT i, array_to_string({expr_d}, '|') FROM sp_in").fetchall())
+    len_d = dict(duck.sql(
+        f"SELECT i, length({decontam.char_stream(DUCK, 't')}) "
+        f"FROM sp_in").fetchall())
+    assert len_s == len_d
+    assert got_s == got_d
+    # the astral-only stream really does produce grams (12 chars, n=8)
+    assert got_s[2].count("|") == 12 - n  # 5 grams -> 4 separators
