@@ -54,11 +54,17 @@ def main() -> None:
         "projection. Same two-shuffle budget as the plain pipeline.\n")
 
     for name, note in (
-        ("corpus_lines", "Pure-SQL rendering of the same pipeline (the "
-                         "DuckDB-oracle twin)."),
+        ("corpus_lines", "SQL-template rendering of the pipeline (the "
+                         "DuckDB-oracle twin); since r6 the clean/keep "
+                         "kernel runs as the registered RE2 UDF behind "
+                         "a generator barrier "
+                         "(CCSPARK_SQL_KERNEL=catalyst restores the "
+                         "pure-Catalyst form)."),
         ("minhash_pairs", "Wide MinHash: one groupBy producing 12 min() "
-                          "columns; band digests unioned; self-join on "
-                          "(band, digest)."),
+                          "columns; signatures ride the banding "
+                          "explode; pairs stream from per-(band, "
+                          "digest) collect_list buckets via stacked "
+                          "explodes (r6 - the chain is planned ONCE)."),
         ("cell_metrics", "Partial-aggregated metrics rollup."),
         ("knn_cosine", "Broadcast query set over the embeddings scan "
                        "(BuildLeft on the filtered 3-row query set)."),
