@@ -44,7 +44,8 @@ def _scan_parts() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def scan_src(d: str, table: str, key: str) -> str:
+def scan_src(d: str, table: str, key: str,
+             alias: str | None = None) -> str:
     """Spark-side base-table scan guarded against single-split inputs
     (optimization guide par.2.5): the fixture/driver parquet files are
     one split, so every narrow map stage (shingle explodes, md5 hashing,
@@ -57,9 +58,12 @@ def scan_src(d: str, table: str, key: str) -> str:
     The DuckDB rendering (single-process anyway) and the oracle text are
     untouched."""
     if d == SPARK and _scan_parts() > 0:
+        # self-aliased so call sites never append one (a call-site alias
+        # would leak into the DUCK rendering's frozen oracle text);
+        # pass *alias* when the template needs a specific name
         return (f"(SELECT /*+ REPARTITION({_scan_parts()}, {key}) */ * "
-                f"FROM {table})")
-    return table
+                f"FROM {table}) {alias or table + '_rp'}")
+    return f"{table} {alias}" if alias else table
 
 
 def dim(d: str, name: str) -> str:
@@ -865,8 +869,7 @@ def q_word_ngrams(d: str, n: int = 2, top: int = 10) -> str:
     # element inside interpreted HOF lambdas - see dedup.shingles, r4)
     if d == SPARK:
         dw = (f"(SELECT lang, split(text, ' ') AS w "
-              f"FROM {scan_src(d, 'documents', 'doc_id')} sd)"
-              )
+              f"FROM {scan_src(d, 'documents', 'doc_id')})")
         grams = (f"transform(sequence(1, greatest(size(w) - {n - 1}, 1)),"
                  f" i -> concat_ws(' ', slice(w, i, {n})))")
         ex = (f"SELECT lang, gram FROM {dw} dw "
@@ -1438,7 +1441,7 @@ def q_simhash(d: str) -> str:
     unnest_w = (
         f"(SELECT doc_id, unnest({words}) AS w FROM documents)"
         if d == DUCK else
-        f"(SELECT doc_id, w FROM {scan_src(d, 'documents', 'doc_id')} sd "
+        f"(SELECT doc_id, w FROM {scan_src(d, 'documents', 'doc_id')} "
         f"LATERAL VIEW explode({words}) t AS w)"
     )
     bit_sums = ", ".join(
@@ -1481,14 +1484,14 @@ def q_knn_cosine(d: str) -> str:
         cos = ("round(list_cosine_similarity(a.embedding::DOUBLE[], "
                "b.embedding::DOUBLE[]), 4)")
     hint = "/*+ BROADCAST(a) */ " if d == SPARK else ""
-    emb = scan_src(d, "embeddings", "vec_id")
+    emb = scan_src(d, "embeddings", "vec_id", alias="b")
     return f"""WITH q AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3
 ),
 pairs AS (
   SELECT {hint}a.vec_id AS query_id, b.vec_id AS neighbor_id,
          b.label AS neighbor_label, {cos} AS cosine
-  FROM q a JOIN {emb} b ON b.vec_id <> a.vec_id
+  FROM q a JOIN {emb} ON b.vec_id <> a.vec_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1524,7 +1527,7 @@ def q_ann_sign_lsh(d: str) -> str:
   SELECT vec_id, label, {bucket('embedding')} AS bucket, _v,
          sqrt(aggregate(transform(_v, x -> x * x), cast(0.0 as double),
               (acc, v) -> acc + v)) AS _n
-  FROM {scan_src(d, 'embeddings', 'vec_id')} e
+  FROM {scan_src(d, 'embeddings', 'vec_id')}
   LATERAL VIEW explode(array(cast(embedding as array<double>))) tv AS _v
 ),
 pairs AS (
@@ -1585,7 +1588,7 @@ def q_embedding_near_dups(d: str) -> str:
   SELECT vec_id, label, {bucket('embedding')} AS bucket, _v,
          sqrt(aggregate(transform(_v, x -> x * x), cast(0.0 as double),
               (acc, v) -> acc + v)) AS _n
-  FROM {scan_src(d, 'embeddings', 'vec_id')} e
+  FROM {scan_src(d, 'embeddings', 'vec_id')}
   LATERAL VIEW explode(array(cast(embedding as array<double>))) tv AS _v
 ),
 pairs AS (
@@ -1659,7 +1662,7 @@ def q_doc_fingerprint(d: str) -> str:
     # element inside interpreted HOF lambdas - see dedup.shingles, r4)
     words = split_arr(d, "text", " ")
     dw = (f"(SELECT doc_id, {words} AS w "
-          f"FROM {scan_src(d, 'documents', 'doc_id')} sd)")
+          f"FROM {scan_src(d, 'documents', 'doc_id')})")
     k, w = 4, 4
     if d == SPARK:
         sh_arr = (f"transform(sequence(0, greatest(size(w) - {k}, 0)), "
@@ -1886,7 +1889,7 @@ def q_char_repetition(d: str) -> str:
     words = split_arr(d, "text", " ")
     if d == SPARK:
         toks = (f"(SELECT doc_id, pos + 1 AS pos, w "
-                f"FROM {scan_src(d, 'documents', 'doc_id')} sd "
+                f"FROM {scan_src(d, 'documents', 'doc_id')} "
                 f"LATERAL VIEW posexplode({words}) t AS pos, w)")
     else:
         toks = (f"(SELECT doc_id, generate_subscripts({words}, 1) AS pos, "
